@@ -1,0 +1,226 @@
+"""Text metrics, from scratch (numpy + stdlib).
+
+Mirrors the reference semantics (cited for parity, no code copied):
+  - normalized edit distance on token lists:
+      reference docling_eval/evaluators/markdown_text_evaluator.py:227-229
+      (nltk edit_distance(pred, true) / max(len(pred), len(true)))
+  - token precision/recall/F1 as SET metrics:
+      reference markdown_text_evaluator.py:219-226 (nltk set-based
+      precision/recall/f_measure over token sets)
+  - BLEU (4-gram, uniform weights, brevity penalty, no smoothing):
+      reference markdown_text_evaluator.py:203-211 (HF evaluate "bleu")
+  - METEOR (exact-match alignment variant; nltk meteor_score semantics
+    with exact matches only since no WordNet is available here):
+      reference markdown_text_evaluator.py:230
+  - CER = edit_distance(chars) / len(true_chars), char_accuracy = 1 - min(1, cer):
+      reference docling_eval/evaluators/ocr_evaluator.py:109-113,145-148
+
+All functions are deterministic and pure; the vectorized entry points
+(`score_text_batch`) take pandas Series and return numpy arrays so they can
+run inside Arrow-batched pandas UDFs without per-row Python dispatch overhead
+dominating (the DP itself is numpy row-vectorized).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from typing import Hashable, Sequence
+
+import numpy as np
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def word_tokenize(text: str) -> list[str]:
+    """Treebank-ish tokenizer: words and standalone punctuation.
+
+    Stand-in for nltk.word_tokenize (reference markdown_text_evaluator.py:219-221)
+    using a deterministic regex — words (\\w+) and single punctuation marks.
+    """
+    return _WORD_RE.findall(text)
+
+
+def levenshtein(a: Sequence[Hashable], b: Sequence[Hashable]) -> int:
+    """Edit distance between two sequences, numpy row-DP.
+
+    O(len(a)) python iterations, each an O(len(b)) vectorized step —
+    fast enough for document-scale strings inside Arrow batches.
+    """
+    n, m = len(a), len(b)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    if n > m:  # iterate over the shorter side
+        a, b, n, m = b, a, m, n
+    # map symbols to ints for fast numpy comparison
+    vocab: dict[Hashable, int] = {}
+    enc_a = np.fromiter((vocab.setdefault(x, len(vocab)) for x in a), np.int32, n)
+    enc_b = np.fromiter((vocab.setdefault(x, len(vocab)) for x in b), np.int32, m)
+    idx = np.arange(m + 1, dtype=np.int32)
+    prev = idx.copy()
+    cur = np.empty(m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        cur[0] = i
+        sub = prev[:-1] + (enc_b != enc_a[i - 1])
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        # resolve the left-to-right insertion chain cur[j] = min(cur[j], cur[j-1]+1)
+        # via a min-plus prefix scan: cur[j] = min_{k<=j} (cur[k] + (j-k))
+        cur -= idx
+        np.minimum.accumulate(cur, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return int(prev[m])
+
+
+def _levenshtein_exact(a: Sequence[Hashable], b: Sequence[Hashable]) -> int:
+    """Reference scalar DP (used by tests to validate the vectorized one)."""
+    n, m = len(a), len(b)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        ai = a[i - 1]
+        for j in range(1, m + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ai != b[j - 1]),
+            )
+        prev = cur
+    return prev[m]
+
+
+def edit_distance_norm(pred_tokens: Sequence, true_tokens: Sequence) -> float:
+    """Normalized edit distance: dist / max(len) ; 0.0 when both empty.
+
+    Parity: reference markdown_text_evaluator.py:227-229.
+    """
+    mx = max(len(pred_tokens), len(true_tokens))
+    if mx == 0:
+        return 0.0
+    return levenshtein(pred_tokens, true_tokens) / mx
+
+
+def token_set_prf(pred_tokens: Sequence[str], true_tokens: Sequence[str]) -> tuple[float, float, float]:
+    """Set-based precision/recall/F1 (nltk semantics: reference=true, test=pred).
+
+    nltk precision(reference, test) = |ref ∩ test| / |test|
+    nltk recall(reference, test)    = |ref ∩ test| / |ref|
+    f_measure with alpha=0.5 → harmonic mean.
+    Parity: reference markdown_text_evaluator.py:219-226.
+    Returns (f1, precision, recall); 0.0 on empty denominators.
+    """
+    ps, ts = set(pred_tokens), set(true_tokens)
+    inter = len(ps & ts)
+    precision = inter / len(ps) if ps else 0.0
+    recall = inter / len(ts) if ts else 0.0
+    f1 = (2 * precision * recall / (precision + recall)) if (precision + recall) else 0.0
+    return f1, precision, recall
+
+
+def bleu_score(pred_tokens: Sequence[str], true_tokens: Sequence[str], max_order: int = 4) -> float:
+    """BLEU with uniform n-gram weights up to max_order, brevity penalty,
+    no smoothing (HF evaluate "bleu" defaults; reference markdown_text_evaluator.py:203-211).
+
+    Single-reference, single-candidate (the reference scores per document).
+    """
+    if len(pred_tokens) == 0:
+        return 0.0
+    log_sum = 0.0
+    for order in range(1, max_order + 1):
+        pred_ngrams = Counter(
+            tuple(pred_tokens[i : i + order]) for i in range(len(pred_tokens) - order + 1)
+        )
+        true_ngrams = Counter(
+            tuple(true_tokens[i : i + order]) for i in range(len(true_tokens) - order + 1)
+        )
+        overlap = sum(min(c, true_ngrams[g]) for g, c in pred_ngrams.items())
+        total = max(sum(pred_ngrams.values()), 0)
+        if total == 0 or overlap == 0:
+            return 0.0  # unsmoothed BLEU: any zero precision zeroes the product
+        log_sum += math.log(overlap / total) / max_order
+    bp = 1.0
+    if len(pred_tokens) < len(true_tokens):
+        bp = math.exp(1.0 - len(true_tokens) / len(pred_tokens))
+    return bp * math.exp(log_sum)
+
+
+def meteor_score(pred_tokens: Sequence[str], true_tokens: Sequence[str],
+                 alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+    """METEOR, exact-match alignment only (no WordNet in this environment).
+
+    Standard formulation (Banerjee & Lavie 2005; nltk parameters):
+      P = m/|pred|, R = m/|true|, Fmean = P*R / (alpha*P + (1-alpha)*R)
+      penalty = gamma * (chunks/m)^beta ;  score = Fmean * (1 - penalty)
+    Matches are a left-to-right greedy injective alignment on exact tokens;
+    chunks = number of maximal runs of adjacent matches in both sequences.
+    Parity target: reference markdown_text_evaluator.py:230 (nltk meteor_score,
+    exact-match stage; stem/synonym stages need external corpora, out of scope).
+    """
+    if not pred_tokens or not true_tokens:
+        return 0.0
+    # greedy injective exact alignment, preferring same-order matches
+    true_positions: dict[str, list[int]] = {}
+    for j, t in enumerate(true_tokens):
+        true_positions.setdefault(t, []).append(j)
+    pairs: list[tuple[int, int]] = []  # (pred_idx, true_idx)
+    used: set[int] = set()
+    for i, p in enumerate(pred_tokens):
+        for j in true_positions.get(p, ()):
+            if j not in used:
+                used.add(j)
+                pairs.append((i, j))
+                break
+    m = len(pairs)
+    if m == 0:
+        return 0.0
+    precision = m / len(pred_tokens)
+    recall = m / len(true_tokens)
+    fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
+    # chunk count: runs contiguous in both pred and true order
+    pairs.sort()
+    chunks = 1
+    for (pi, ti), (pj, tj) in zip(pairs, pairs[1:]):
+        if not (pj == pi + 1 and tj == ti + 1):
+            chunks += 1
+    penalty = gamma * (chunks / m) ** beta
+    return fmean * (1.0 - penalty)
+
+
+def cer(pred_text: str, true_text: str) -> float:
+    """Character error rate: edit_distance(chars)/len(true); 1.0 when pred
+    empty and true non-empty; 0.0 when both empty.
+    Parity: reference ocr_evaluator.py:109-113 (char_accuracy = 1 - min(1, cer)).
+    """
+    if len(true_text) == 0:
+        return 0.0 if len(pred_text) == 0 else 1.0
+    return levenshtein(pred_text, true_text) / len(true_text)
+
+
+def char_accuracy(pred_text: str, true_text: str) -> float:
+    return 1.0 - min(1.0, cer(pred_text, true_text))
+
+
+def score_text_pair(pred_text: str, true_text: str) -> dict[str, float]:
+    """All markdown-suite metrics for one (pred, true) pair.
+
+    Output keys mirror PageMarkdownEvaluation fields
+    (reference markdown_text_evaluator.py:33-43,164-185).
+    """
+    pt = word_tokenize(pred_text)
+    tt = word_tokenize(true_text)
+    f1, precision, recall = token_set_prf(pt, tt)
+    return {
+        "bleu": bleu_score(pt, tt),
+        "f1_score": f1,
+        "precision": precision,
+        "recall": recall,
+        "edit_distance": edit_distance_norm(pt, tt),
+        "meteor": meteor_score(pt, tt),
+    }
