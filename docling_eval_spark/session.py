@@ -21,9 +21,10 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # HTML blobs are MB-scale: keep Arrow batches small so a batch of
-    # heavy-tailed pages never blows past executor memory.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    # html blobs are KB-to-MB scale: cap Arrow batches well below the
+    # default 10k rows so a batch of heavy-tailed pages stays bounded
+    # (256 rows x ~1 MB worst-case page ≈ 256 MB ceiling per batch).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.compression.codec": "zstd",

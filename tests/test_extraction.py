@@ -1,0 +1,134 @@
+"""Extraction unit tests: tokenizer, classifier, byte-identity round trip."""
+
+import pytest
+
+from docling_eval_spark.corpus.html_synth import (
+    gt_table_html,
+    has_table,
+    host_for,
+    synth_html,
+    url_for,
+)
+from docling_eval_spark.extraction.boilerplate import classify_blocks, extract_main_text
+from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+from docling_eval_spark.functions.teds import teds_score
+
+BOILER_PAGE = """<html><head><title>t</title><script>junk()</script></head><body>
+<nav><ul><li><a href="/a">Home</a></li><li><a href="/b">About</a></li></ul></nav>
+<p>This is the main content paragraph with more than sixteen words in it so the
+density rule accepts it directly without needing neighbours at all.</p>
+<footer><p>© corp — <a href="/i">Imprint</a></p></footer>
+</body></html>"""
+
+
+class TestTokenizer:
+    def test_blocks_and_features(self):
+        blocks = parse_blocks(BOILER_PAGE)
+        texts = [b.text for b in blocks]
+        assert any("main content paragraph" in t for t in texts)
+        nav_blocks = [b for b in blocks if b.boiler_ancestor]
+        assert nav_blocks, "nav/footer blocks must carry boiler_ancestor"
+        main = next(b for b in blocks if "main content" in b.text)
+        assert not main.boiler_ancestor
+        assert main.link_density == 0.0
+        assert main.tag == "p"
+
+    def test_script_and_style_dropped(self):
+        blocks = parse_blocks("<body><script>x=1;</script><style>.a{}</style><p>keep this text here ok</p></body>")
+        assert all("x=1" not in b.text and ".a{}" not in b.text for b in blocks)
+
+    def test_anchor_chars(self):
+        blocks = parse_blocks('<body><p>abc <a href="/x">link</a> def</p></body>')
+        b = blocks[0]
+        assert b.anchor_chars == 4
+        assert b.text == "abc link def"
+
+    def test_entities_decoded(self):
+        blocks = parse_blocks("<body><p>a &amp; b &lt; c</p></body>")
+        assert blocks[0].text == "a & b < c"
+
+    def test_table_captured_not_in_text(self):
+        html = "<body><p>before table words here now yes more words to pass rules ok fine great stuff here</p><table><tr><td>cell</td></tr></table></body>"
+        r = extract_main_text(html)
+        assert "cell" not in r["text"]
+        assert len(r["tables"]) == 1
+        assert "<td>cell</td>" in r["tables"][0]
+
+    def test_inline_tags_transparent(self):
+        blocks = parse_blocks("<body><p>one <b>two</b> three</p></body>")
+        assert blocks[0].text == "one two three"
+
+
+class TestClassifier:
+    def test_boiler_page(self):
+        r = extract_main_text(BOILER_PAGE)
+        assert r["text"].startswith("This is the main content paragraph")
+        assert "Imprint" not in r["text"]
+        assert "Home" not in r["text"]
+        assert r["n_boiler"] >= 2
+
+    def test_link_density_rule(self):
+        blocks = parse_blocks(
+            '<body><div><a href="/x">all of this text is one big link and nothing else at all</a></div>'
+            "<p>real content paragraph with definitely more than sixteen whole words "
+            "written out in plain language for the classifier</p></body>"
+        )
+        labels = classify_blocks(blocks)
+        assert labels == [False, True]
+
+    def test_semantic_article_override_short_text(self):
+        html = "<body><nav><a href='/'>x</a></nav><article><p>Tiny text.</p></article></body>"
+        r = extract_main_text(html)
+        assert r["text"] == "Tiny text."
+
+    def test_heading_promotion(self):
+        html = ("<body><h2>Short headline</h2>"
+                "<p>body paragraph long enough to be content on its own having way "
+                "more than the required sixteen words to trigger the direct rule</p></body>")
+        r = extract_main_text(html)
+        assert r["text"].startswith("Short headline\n\n")
+
+    def test_spans_emitted(self):
+        r = extract_main_text(BOILER_PAGE)
+        assert r["n_blocks"] == len(r["spans"])
+        assert any(s["is_content"] for s in r["spans"])
+        assert all(0.0 <= s["link_density"] <= 1.0 for s in r["spans"])
+
+
+class TestRoundTrip:
+    """Byte-identity oracle gate (north rule) on deterministic synth pages."""
+
+    @pytest.mark.parametrize("doc_id,text,lang", [
+        (0, "the fast key order sort table scan merge part window small", "en"),
+        (7, "short text", "de"),  # <= 40 words -> forced <article>
+        (5, "word " * 80, "fr"),  # has_table(5) -> embedded table page
+        (42, "Multi paragraph one with quite some words inside it truly.\n\n"
+             "And a second paragraph also fairly long with many words here.", "en"),
+        (99, "unicode Ümlauts & späße — ελληνικά 中文 works", "el"),
+    ])
+    def test_byte_identity(self, doc_id, text, lang):
+        text = text.strip()
+        html = synth_html(doc_id, text, lang).decode("utf-8")
+        r = extract_main_text(html)
+        assert r["text"] == text
+
+    def test_table_roundtrip_teds(self):
+        doc_id = 10
+        assert has_table(doc_id)
+        html = synth_html(doc_id, "word " * 50, "en").decode()
+        r = extract_main_text(html)
+        assert len(r["tables"]) == 1
+        assert teds_score(gt_table_html(doc_id), r["tables"][0]) == pytest.approx(1.0)
+
+    def test_determinism(self):
+        a = synth_html(123, "some stable text here", "en")
+        b = synth_html(123, "some stable text here", "en")
+        assert a == b
+        assert url_for(123) == url_for(123)
+
+    def test_host_skew(self):
+        hosts = [host_for(i) for i in range(2000)]
+        # Zipf-ish: the most common host must dominate the median host count
+        from collections import Counter
+        top = Counter(hosts).most_common(1)[0][1]
+        assert top > 50  # heavy head out of 2000 docs across 1000 hosts
