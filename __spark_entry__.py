@@ -90,6 +90,62 @@ def _q_extract_block_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — layout / reading-order / OCR pipelines (closed-form oracles:
+# the synthetic layout corpus is constructed so every metric is exact CASE
+# arithmetic over doc_id — see corpus/layout_synth.py)
+# ---------------------------------------------------------------------------
+
+def _q_layout_image_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image COCO mAP + mask P/R/F1 + weighted IoU (SURVEY.md §2.4 A6,
+    §2.8 F13/F15, §2.3 J5) over perturbation modes 0-2."""
+    from docling_eval_spark.plans.layout_eval import per_image_metrics
+
+    m = per_image_metrics(spark, sf_dir, modes=(0, 1, 2))
+    return m.select(
+        "doc_id",
+        F.round("map", 6).alias("map"),
+        F.round("map_50", 6).alias("map_50"),
+        F.round("map_75", 6).alias("map_75"),
+        F.round("mask_precision", 6).alias("mask_precision"),
+        F.round("mask_recall", 6).alias("mask_recall"),
+        F.round("mask_f1", 6).alias("mask_f1"),
+        F.round("avg_iou_50", 6).alias("avg_iou_50"),
+    )
+
+
+def _q_layout_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level mAP as a distributed partial+final aggregate
+    (SURVEY.md §2.4 A5; reference layout_evaluator.py:246-266)."""
+    from docling_eval_spark.plans.layout_eval import corpus_map
+
+    return corpus_map(spark, sf_dir, modes=(0, 1))
+
+
+def _q_reading_order_ard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric reading-order prediction + ARD (SURVEY.md §2.5 W1/W2)."""
+    from docling_eval_spark.plans.reading_order_eval import reading_order_scores
+
+    s = reading_order_scores(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        F.round("ard_norm", 6).alias("ard_norm"),
+        F.round("w_ard_norm", 6).alias("w_ard_norm"),
+    )
+
+
+def _q_ocr_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CER / char accuracy over deterministic degradations (F12)."""
+    from docling_eval_spark.plans.ocr_eval import ocr_scores
+
+    s = ocr_scores(spark, sf_dir)
+    return s.select(
+        "doc_id", "mode",
+        F.round("cer", 6).alias("cer"),
+        F.round("char_accuracy", 6).alias("char_accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # queries — stats / text analysis over driver tables (SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -265,6 +321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_identity_rate": _q_extract_identity_rate,
         "extract_block_counts": _q_extract_block_counts,
         "teds_tables_identity": _q_teds_tables_identity,
+        "layout_image_metrics": _q_layout_image_metrics,
+        "layout_corpus_map": _q_layout_corpus_map,
+        "reading_order_ard": _q_reading_order_ard,
+        "ocr_cer": _q_ocr_cer,
         "doc_stats": _q_doc_stats,
         "doc_len_histogram": _q_doc_len_histogram,
         "lang_distribution": _q_lang_distribution,
@@ -296,6 +356,56 @@ def oracle_sql() -> dict[str, str]:
         "teds_tables_identity": (
             "SELECT doc_id, 1.0 AS teds, 1.0 AS teds_struct FROM documents "
             "WHERE doc_id % 5 = 0"
+        ),
+        # closed-form layout/reading-order/OCR oracles — see
+        # corpus/layout_synth.py for the derivations
+        "layout_image_metrics": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 4 AS m "
+            "FROM documents WHERE doc_id % 4 < 3) "
+            "SELECT doc_id, "
+            "CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN "
+            "  round((1 + (floor(100.0*(n-2)/(n-1)) + 1)/101.0)/2, 6) "
+            "ELSE 0.7 END AS map, "
+            "CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN "
+            "  round((1 + (floor(100.0*(n-2)/(n-1)) + 1)/101.0)/2, 6) "
+            "ELSE 1.0 END AS map_50, "
+            "CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN "
+            "  round((1 + (floor(100.0*(n-2)/(n-1)) + 1)/101.0)/2, 6) "
+            "ELSE 1.0 END AS map_75, "
+            "CASE WHEN m = 2 THEN 0.9 ELSE 1.0 END AS mask_precision, "
+            "CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN "
+            "  round((n-1.0)/n, 6) ELSE 0.9 END AS mask_recall, "
+            "CASE WHEN m = 0 THEN 1.0 WHEN m = 1 THEN "
+            "  round(2.0*(n-1)/(2*n-1), 6) ELSE 0.9 END AS mask_f1, "
+            "CASE WHEN m = 2 THEN round(144.0/176.0, 6) ELSE 1.0 "
+            "END AS avg_iou_50 "
+            "FROM d"
+        ),
+        "layout_corpus_map": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 4 AS m "
+            "FROM documents WHERE doc_id % 4 IN (0, 1)), "
+            "ap AS (SELECT (1 + (floor(100.0 * sum(n - 1 - (CASE WHEN m = 1 "
+            "THEN 1 ELSE 0 END)) / sum(n - 1)) + 1) / 101.0) / 2 AS v FROM d) "
+            "SELECT round(v, 6) AS map, round(v, 6) AS map_50, "
+            "round(v, 6) AS map_75 FROM ap"
+        ),
+        "reading_order_ard": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 4 AS m "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN m = 3 THEN round(1 - 2.0/(n*n), 6) ELSE 1.0 "
+            "END AS ard_norm, "
+            "CASE WHEN m = 3 THEN round(1 - 2.0/(n*n*n), 6) ELSE 1.0 "
+            "END AS w_ard_norm "
+            "FROM d"
+        ),
+        "ocr_cer": (
+            "SELECT doc_id, cast(doc_id % 3 AS int) AS mode, "
+            "CASE WHEN doc_id % 3 = 0 OR length(text) = 0 THEN 0.0 "
+            "ELSE round(1.0/length(text), 6) END AS cer, "
+            "CASE WHEN doc_id % 3 = 0 OR length(text) = 0 THEN 1.0 "
+            "ELSE round(1 - 1.0/length(text), 6) END AS char_accuracy "
+            "FROM documents"
         ),
         "doc_stats": (
             "SELECT count(n_chars) AS total, round(avg(n_chars), 6) AS mean, "

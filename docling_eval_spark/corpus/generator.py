@@ -43,15 +43,39 @@ def _synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str,
-                         n_partitions: int | None = None) -> DataFrame:
+                         n_partitions: int | None = None,
+                         replicate: int = 1,
+                         pages_stage: bool = True) -> DataFrame:
     """Deterministic pages table from the driver's documents parquet.
 
     Column pruning matters: only (doc_id, text, lang) are read from parquet
-    (ReadSchema shows 3 columns, not 5).
+    (ReadSchema shows 3 columns, not 5). The optional repartition salts the
+    LIGHTWEIGHT rows (xxhash64 of doc_id+salt) so the downstream
+    synth/extract stage is uniformly loaded without ever shuffling html
+    blobs. `replicate` > 1 deterministically amplifies the corpus: each
+    replica r gets doc_id' = doc_id * replicate + r (unique urls/html,
+    same oracle text) — used by scaling benchmarks.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    # Order matters for scaling: the source is one small parquet split, so
+    # repartition the LIGHT rows first (single cheap shuffle), THEN explode
+    # replicas inside each partition — amplification runs in parallel and
+    # nothing heavy ever crosses an exchange.
     if n_partitions:
-        docs = docs.repartition(n_partitions, F.col("doc_id"))
+        docs = docs.repartition(
+            n_partitions, F.xxhash64(F.col("doc_id"), F.lit(0x5EED))
+        )
+    if replicate > 1:
+        docs = docs.select(
+            "doc_id", "text", "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_r"),
+        ).select(
+            (F.col("doc_id") * replicate + F.col("_r")).alias("doc_id"),
+            "text", "lang",
+        )
+    if not pages_stage:
+        # light rows for callers that fuse synthesis into their own stage
+        return docs
     return docs.mapInPandas(_synth_batches, schema=PAGES_SCHEMA)

@@ -88,12 +88,68 @@ def extract_and_score(pages: DataFrame, n_partitions: int = 32,
     return score_extractions(extract_pages(balanced), full_metrics=full_metrics)
 
 
+def _fused_batches(full_metrics: bool):
+    """One Python operator for synth -> extract -> score.
+
+    Fusing matters twice at scale: (1) each chained mapInPandas is its own
+    Python worker per task — three chained operators triple the Python
+    process count and re-cross the Arrow boundary with MB-scale html on
+    every hop; fused, a task owns exactly one worker and html never leaves
+    Python; (2) the html column is dropped before rows return to the JVM,
+    so the only Arrow traffic is light metric/text columns.
+    """
+    from ..corpus.html_synth import synth_html, url_for
+    from ..extraction.boilerplate import extract_main_text
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "url": [url_for(int(i)) for i in pdf["doc_id"]],
+                "lang": pdf["lang"],
+                "text": pdf["text"],
+                "extracted_text": [], "n_blocks": [], "n_content": [],
+                "n_boiler": [], "tables": [], "spans": [],
+            }
+            for i, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                html = synth_html(int(i), t, l).decode("utf-8")
+                r = extract_main_text(html)
+                out["extracted_text"].append(r["text"])
+                out["n_blocks"].append(r["n_blocks"])
+                out["n_content"].append(r["n_content"])
+                out["n_boiler"].append(r["n_boiler"])
+                out["tables"].append(r["tables"])
+                out["spans"].append(r["spans"])
+            pdf_out = pd.DataFrame(out)
+            if full_metrics:
+                pdf_out = next(_score_batches(iter([pdf_out])))
+            yield pdf_out
+
+    return gen
+
+
 def flagship(spark: SparkSession, sf_dir: str, n_partitions: int = 32,
-             full_metrics: bool = True) -> DataFrame:
-    """documents parquet -> pages -> extract -> score. The entry() query."""
-    pages = pages_from_documents(spark, sf_dir)
-    return extract_and_score(pages, n_partitions=n_partitions,
-                             full_metrics=full_metrics)
+             full_metrics: bool = True, replicate: int = 1) -> DataFrame:
+    """documents parquet -> pages -> extract -> score. The entry() query.
+
+    Shuffle placement: the salted repartition runs on the LIGHTWEIGHT
+    pre-synthesis rows (doc_id, text, lang), not on materialized html
+    blobs; synthesis, extraction, and scoring then run as ONE fused
+    mapInPandas stage (see _fused_batches). On a real source table (blobs
+    already materialized) use extract_and_score(), whose size-balanced
+    salt is the blob-side equivalent. `replicate` deterministically
+    amplifies the corpus (distinct doc_ids per replica) for scaling
+    benchmarks.
+    """
+    from ..extraction.extract import EXTRACT_SCHEMA
+
+    docs = pages_from_documents(spark, sf_dir, n_partitions=n_partitions,
+                                replicate=replicate, pages_stage=False)
+    schema = EXTRACT_SCHEMA + (f", {_SCORE_SCHEMA}" if full_metrics else "")
+    fused = docs.mapInPandas(_fused_batches(full_metrics), schema=schema)
+    return fused.withColumn(
+        "byte_identical", F.col("extracted_text") == F.col("text")
+    )
 
 
 def flagship_rollup(scored: DataFrame) -> DataFrame:
