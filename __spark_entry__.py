@@ -182,6 +182,115 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_summary(df, "text")
 
 
+def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH -> exact n-gram-Jaccard verify (training-data
+    dedup). Corpus = documents + deterministic near/exact copies; the
+    oracle recomputes exact Jaccard over ALL pairs, so the check proves the
+    LSH candidate generation misses nothing at threshold 0.8."""
+    from docling_eval_spark.operators.dedup import minhash_dedup_pairs, with_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = with_near_dups(docs)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")) \
+        .orderBy("a", "b")
+
+
+def _q_simhash_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash + 4x16-bit Hamming-block candidates -> exact-equality verify.
+    Equal texts share all blocks, so exact dups are ALWAYS candidates; the
+    equality verify makes the output the exact-duplicate pair set."""
+    from docling_eval_spark.operators.dedup import simhash64, simhash_candidates, with_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = with_near_dups(docs)
+    cands = simhash_candidates(simhash64(corpus), max_hamming=3)
+    texts = corpus.select(F.col("doc_id"), F.md5(F.encode("text", "utf-8")).alias("h"))
+    ta = texts.select(F.col("doc_id").alias("a"), F.col("h").alias("ha_txt"))
+    tb = texts.select(F.col("doc_id").alias("b"), F.col("h").alias("hb_txt"))
+    return (
+        cands.join(ta, "a").join(tb, "b")
+        .where(F.col("ha_txt") == F.col("hb_txt"))
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets."""
+    from docling_eval_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+        with_scaled_copies,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    corpus = with_scaled_copies(emb)
+    return lsh_near_dup_pairs(corpus, threshold=0.9999).orderBy("a", "b")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language-ID heuristic (training-data text analysis)."""
+    from docling_eval_spark.operators.text_analysis import with_lang_id
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return with_lang_id(df).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash-style document fingerprint: collision accounting.
+    The oracle counts distinct (head64, tail64, len) triples of normalized
+    text — exactly the fingerprint's preimage."""
+    from docling_eval_spark.operators.text_analysis import with_fingerprint
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return with_fingerprint(df).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique_fp"),
+    )
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake binary payloads (PNG magic + utf-8 text bytes) —
+    the multimodal column contract with no codec libs in the loop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    return docs.withColumn(
+        "payload",
+        F.concat(F.unhex(F.lit("89504E47")), F.encode("text", "utf-8")),
+    ).drop("text")
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads — native expressions only
+    (mime sniff, byte length, content hash), rolled up per lang."""
+    from docling_eval_spark.operators.multimodal import with_payload_metadata
+
+    meta = with_payload_metadata(_payloads(spark, sf_dir))
+    return (
+        meta.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("payload_meta.n_bytes").alias("total_bytes"),
+            F.countDistinct("payload_meta.sha256").alias("n_unique"),
+            F.max("payload_meta.mime").alias("mime"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped frame sampling fan-out: one row per sampled chunk; the
+    oracle recomputes the fan-out count from byte lengths."""
+    from docling_eval_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_payloads(spark, sf_dir), chunk=1024, every_n=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"), F.sum("n_bytes").alias("sampled_bytes"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting per lang (text-analysis op)."""
     from docling_eval_spark.operators.text_analysis import with_token_count
@@ -329,6 +438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_histogram": _q_doc_len_histogram,
         "lang_distribution": _q_lang_distribution,
         "dedup_exact": _q_dedup_exact,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_exact_dup": _q_simhash_exact_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lang_id": _q_lang_id,
+        "fingerprint_summary": _q_fingerprint_summary,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "pricing_summary": _q_pricing_summary,
@@ -423,6 +539,91 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique, "
             "count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents"
+        ),
+        "minhash_near_dup": (
+            "WITH corpus AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000000, text || ' xdup' "
+            "    FROM documents WHERE doc_id % 3 = 0"
+            "  UNION ALL SELECT doc_id + 2000000000, text "
+            "    FROM documents WHERE doc_id % 7 = 0"
+            "), sh AS ("
+            "  SELECT doc_id, CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 "
+            "  THEN [text] ELSE list_distinct(list_transform("
+            "    range(1, len(string_split_regex(trim(text), '\\s+')) - 1), "
+            "    i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || "
+            "         string_split_regex(trim(text), '\\s+')[i+1] || ' ' || "
+            "         string_split_regex(trim(text), '\\s+')[i+2])) END AS grams "
+            "  FROM corpus) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "round(len(list_intersect(a.grams, b.grams)) * 1.0 "
+            "  / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard "
+            "FROM sh a, sh b WHERE a.doc_id < b.doc_id "
+            "AND len(list_intersect(a.grams, b.grams)) * 1.0 "
+            "  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8 "
+            "ORDER BY a, b"
+        ),
+        "simhash_exact_dup": (
+            "WITH corpus AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000000, text || ' xdup' "
+            "    FROM documents WHERE doc_id % 3 = 0"
+            "  UNION ALL SELECT doc_id + 2000000000, text "
+            "    FROM documents WHERE doc_id % 7 = 0) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, 0 AS hamming "
+            "FROM corpus a, corpus b "
+            "WHERE a.doc_id < b.doc_id AND a.text = b.text ORDER BY a, b"
+        ),
+        "embedding_near_dup": (
+            "WITH corpus AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL SELECT vec_id + 1000000000, "
+            "    list_transform(embedding, x -> x * 2.0) FROM embeddings) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine "
+            "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
+            "AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9999 "
+            "ORDER BY a, b"
+        ),
+        "lang_id": (
+            "WITH h AS (SELECT doc_id, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "  w -> w IN ('the','and','of','to','is'))) AS h_en, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "  w -> w IN ('der','die','das','und','nicht'))) AS h_de, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "  w -> w IN ('le','la','les','et','est'))) AS h_fr, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "  w -> w IN ('el','la','los','y','es'))) AS h_es "
+            "FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und' "
+            "WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr' "
+            "WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es' "
+            "WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en' "
+            "ELSE 'de' END AS lang_pred FROM h"
+        ),
+        "fingerprint_summary": (
+            "WITH n AS (SELECT lower(regexp_replace(text, '\\s+', ' ', 'g')) "
+            "AS t FROM documents) "
+            "SELECT count(*) AS n_docs, (SELECT count(*) FROM ("
+            "SELECT DISTINCT substr(t, 1, 64), substr(reverse(t), 1, 64), "
+            "length(t) FROM n)) AS n_unique_fp FROM n"
+        ),
+        "multimodal_meta": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(strlen(text) + 4) AS total_bytes, "
+            "count(DISTINCT text) AS n_unique, 'image/png' AS mime "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "multimodal_frames": (
+            "WITH p AS (SELECT doc_id, strlen(text) + 4 AS len, "
+            "cast(ceil((strlen(text) + 4) / 1024.0) AS int) AS nch "
+            "FROM documents) "
+            "SELECT doc_id, cast(ceil(nch / 4.0) AS bigint) AS n_frames, "
+            "cast(list_sum(list_transform(range(0, nch, 4), "
+            "  i -> least(1024, len - i * 1024))) AS bigint) AS sampled_bytes "
+            "FROM p ORDER BY doc_id"
         ),
         "token_counts": (
             "SELECT lang, sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens, "

@@ -194,3 +194,28 @@ def simhash_candidates(hashes: DataFrame, key: str = "doc_id",
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return pairs.select("a", "b", hamming.alias("hamming")) \
         .where(F.col("hamming") <= max_hamming)
+
+
+# -- deterministic near-dup corpus derivation (for gates/benchmarks) ----------
+
+
+def with_near_dups(df: DataFrame, text_col: str = "text",
+                   key: str = "doc_id") -> DataFrame:
+    """Deterministically amplify a corpus with duplicate families:
+
+      - every key % 3 == 0 doc gains a NEAR copy (key + 1e9) with one token
+        appended — token-shingle Jaccard (W-2)/W for a W-token doc;
+      - every key % 7 == 0 doc gains an EXACT copy (key + 2e9).
+
+    Native column ops only (unionByName of three projections); the derived
+    corpus is reproducible in ANSI SQL, which is what makes the near-dup
+    pipelines oracle-checkable end to end.
+    """
+    near = (
+        df.where(F.col(key) % 3 == 0)
+        .withColumn(key, F.col(key) + F.lit(1_000_000_000))
+        .withColumn(text_col, F.concat(F.col(text_col), F.lit(" xdup")))
+    )
+    exact = df.where(F.col(key) % 7 == 0) \
+        .withColumn(key, F.col(key) + F.lit(2_000_000_000))
+    return df.unionByName(near).unionByName(exact)

@@ -1,0 +1,145 @@
+"""Multimodal columns: opaque binary payloads + typed metadata + decode UDFs.
+
+The reference carries page/picture images as PIL sequences inside dataset
+rows (docling_eval/datamodels/dataset_record.py:38-43, utils/utils.py:
+271-312 base64 encode/decode + crop). At 100 TB the Spark-native shape is:
+
+  - payload: `binary` column (image/audio/video bytes) — never parsed by
+    the JVM, pruned away unless a stage asks for it;
+  - metadata: a typed struct column (mime, n_bytes, sha) computed with
+    NATIVE expressions — scan-speed, codegen-friendly;
+  - decode / feature-extract / frame-sample: Arrow-batched `mapInPandas`
+    stages with explicit output schemas and SMALL record batches (session
+    caps maxRecordsPerBatch because payloads are MB-scale).
+
+The actual image/audio decode is STUBBED: the sandbox ships no codec libs,
+so `decode_image_features` uses Pillow when importable and otherwise a
+clearly-marked DETERMINISTIC FAKE (features derived from payload bytes).
+The Spark-side plumbing — schemas, batch shapes, partitioning, UDTF-style
+row fan-out — is real and tested; swapping the fake for a codec is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# magic-byte prefixes -> mime (native when/otherwise dispatch, SURVEY P8)
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "audio/wav"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+]
+
+
+def with_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata struct from native expressions only (no Python)."""
+    p = F.col(payload_col)
+    mime = F.lit("application/octet-stream")
+    for prefix, m in reversed(_MAGIC):
+        hexpfx = prefix.hex()
+        mime = F.when(
+            F.hex(F.substring(p, 1, len(prefix))) == F.lit(hexpfx.upper()),
+            F.lit(m),
+        ).otherwise(mime)
+    return df.withColumn(
+        "payload_meta",
+        F.struct(
+            mime.alias("mime"),
+            F.length(p).alias("n_bytes"),
+            F.sha2(p, 256).alias("sha256"),
+        ),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_luma double, "
+    "embedding array<float>"
+)
+
+
+def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, float, list]:
+    """DETERMINISTIC FAKE decode (no codec libs in this environment):
+    dimensions and features are a pure function of the payload bytes.
+    Replace with a real decoder (PIL/libvips/ffmpeg) on a real cluster."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = h[2] / 255.0
+    rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    feat = np.resize(rng, dim) / 255.0
+    return width, height, mean_luma, feat.tolist()
+
+
+def decode_image_features(df: DataFrame, payload_col: str = "payload",
+                          key: str = "doc_id", dim: int = 16) -> DataFrame:
+    """Arrow-batched decode -> (dims, luma, feature embedding).
+
+    Pillow is used when importable; otherwise the deterministic fake.
+    """
+    try:  # pragma: no cover - environment-dependent
+        from PIL import Image  # noqa: F401
+        has_pil = True
+    except Exception:
+        has_pil = False
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        rows = []
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[key], pdf[payload_col]):
+                b = bytes(payload)
+                if has_pil:
+                    try:
+                        img = Image.open(io.BytesIO(b)).convert("L")
+                        arr = np.asarray(img, dtype=np.float32)
+                        w, h = img.size
+                        luma = float(arr.mean()) / 255.0
+                        feat = np.resize(arr.mean(axis=0), dim) / 255.0
+                        rows.append((int(doc_id), w, h, luma, feat.tolist()))
+                        continue
+                    except Exception:
+                        pass
+                w, h, luma, feat = _fake_decode(b, dim)
+                rows.append((int(doc_id), w, h, luma, feat))
+            yield pd.DataFrame(rows, columns=[
+                key, "width", "height", "mean_luma", "embedding"])
+
+    return df.select(key, payload_col).mapInPandas(
+        gen, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_bytes int"
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  key: str = "doc_id", chunk: int = 4096,
+                  every_n: int = 4) -> DataFrame:
+    """UDTF-shaped frame sampling: N output rows per input video payload.
+
+    STUB frame extraction: the payload is split into fixed-size chunks and
+    every `every_n`-th chunk is emitted as a 'frame' — deterministic stand-in
+    for keyframe decoding; the fan-out shape (one input row -> many output
+    rows through mapInPandas) is the real contract.
+    """
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[key], pdf[payload_col]):
+                b = bytes(payload)
+                n_chunks = max(1, (len(b) + chunk - 1) // chunk)
+                for idx in range(0, n_chunks, every_n):
+                    fr = b[idx * chunk:(idx + 1) * chunk]
+                    rows.append((int(doc_id), idx, fr, len(fr)))
+            yield pd.DataFrame(rows, columns=[key, "frame_idx", "frame", "n_bytes"])
+
+    return df.select(key, payload_col).mapInPandas(gen, schema=FRAMES_SCHEMA)

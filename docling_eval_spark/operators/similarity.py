@@ -109,3 +109,43 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
         .drop("rk")
         .orderBy("query_id", F.desc("cosine"), "neighbor_id")
     )
+
+
+def with_scaled_copies(corpus: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Deterministic near-dup derivation for gates/benchmarks: every vector
+    gains a x2-scaled copy (id + 1e9) — cosine exactly 1, so the qualifying
+    pair set is reproducible in ANSI SQL."""
+    copies = corpus.withColumn(id_col, F.col(id_col) + F.lit(1_000_000_000)) \
+        .withColumn(vec_col, F.transform(F.col(vec_col), lambda x: x * 2.0))
+    return corpus.unionByName(copies)
+
+
+def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None, n_planes: int = 8,
+                       seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs (a < b) with cosine >= threshold,
+    candidates restricted to equal random-hyperplane LSH buckets.
+
+    The bucket self-join replaces the all-pairs cross product: shuffle is
+    one row per vector keyed by a B-bit signature, candidate volume is
+    sum of squared bucket sizes (tunable via n_planes) — never quadratic
+    in the corpus. Parallel vectors hash to identical signatures, so
+    exact-duplicate (including scaled) pairs are ALWAYS candidates.
+    """
+    if dim is None:
+        dim = int(corpus.select(F.size(vec_col)).first()[0])
+    planes = _random_planes(dim, n_planes, seed)
+    v = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    v = v.withColumn("bucket", lsh_signature(F.col("v"), planes))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, on="bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.round(_cosine(F.col("l.v"), F.col("r.v")), 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,89 @@
+"""Structured-Streaming ingest: incremental extraction over arriving pages.
+
+The reference is batch-only (SURVEY.md §2.9) and the 10^12-doc extraction
+job is a resumable BATCH pipeline (Iceberg snapshot + anti-join resume,
+operators/resume.py). Streaming still earns its place at the edges:
+a crawl drops WARC-derived parquet files continuously, and this module
+turns the same fused extraction stage into an incremental job —
+
+  - file-source `readStream` over the landing directory (input_hint
+    schema), `maxFilesPerTrigger` bounding per-micro-batch bytes;
+  - the IDENTICAL extraction `mapInPandas` (extraction/extract.py) runs
+    unchanged on the streaming DataFrame — one code path for batch and
+    streaming (Structured Streaming's core promise);
+  - `writeStream` to parquet with a checkpoint directory: exactly-once
+    file-sink semantics; a killed job restarts at the last committed
+    micro-batch (the streaming twin of the batch anti-join resume);
+  - `Trigger.AvailableNow` drains the backlog then stops — the cron-style
+    incremental deployment mode;
+  - a watermarked event-time window aggregate over `warc_ts` for
+    late-data-tolerant throughput/lineage rollups
+    (`applyInPandasWithState` is not needed: the rollup is a plain
+    windowed count, which Spark handles with built-in state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
+             "lang string, doc_id bigint")
+
+
+def stream_pages(spark: SparkSession, input_path: str,
+                 max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream of pages (input_hint schema)."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def streaming_extract(pages: DataFrame) -> DataFrame:
+    """The batch extraction stage, unchanged, on a streaming DataFrame."""
+    from ..extraction.extract import extract_pages
+
+    return extract_pages(pages).withColumn(
+        "byte_identical", F.col("extracted_text") == F.col("text")
+    )
+
+
+def start_ingest(spark: SparkSession, input_path: str, output_path: str,
+                 checkpoint_path: str,
+                 available_now: bool = True) -> StreamingQuery:
+    """Incremental extract job: landing dir -> scored parquet, exactly-once.
+
+    Restart with the same checkpoint_path to resume: committed micro-batches
+    are never reprocessed (file-source + file-sink checkpoint contract).
+    """
+    scored = streaming_extract(stream_pages(spark, input_path))
+    writer = (
+        scored.writeStream
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_throughput(pages: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Event-time ingest rollup: docs and bytes per `warc_ts` window,
+    tolerant of `watermark` lateness. Works on batch AND streaming frames
+    (watermark is a no-op in batch)."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("html")).alias("total_bytes"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang",
+                "n_docs", "total_bytes")
+    )
