@@ -324,6 +324,68 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — rejection/timings/consolidation/kv-graph/slice (SURVEY.md §2.4
+# A3/A9/A11, §2.8 F18, §2.2 P1/P2/P3)
+# ---------------------------------------------------------------------------
+
+def _q_rejection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.plans.report import (
+        docs_table,
+        rejection_summary,
+        with_synthetic_status,
+    )
+
+    return rejection_summary(with_synthetic_status(docs_table(spark, sf_dir)))
+
+
+def _q_timings_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.plans.report import (
+        docs_table,
+        timings_rollup,
+        with_synthetic_timings,
+    )
+
+    return timings_rollup(with_synthetic_timings(docs_table(spark, sf_dir)))
+
+
+def _q_consolidation_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_eval_spark.plans.report import consolidation_pivot, docs_table
+
+    return consolidation_pivot(docs_table(spark, sf_dir))
+
+
+def _q_kv_graph_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-graph cell classification over deterministic chain graphs —
+    higher-order array expressions only, no Python (F18)."""
+    from docling_eval_spark.functions.kv_graph import chain_graph, classify_kv_cells
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = (F.col("doc_id") % 3 + 3).cast("int")
+    cells, links = chain_graph(n)
+    labeled = docs.select(
+        "doc_id", F.explode(classify_kv_cells(cells, links)).alias("c")
+    )
+    return labeled.select(
+        "doc_id", F.col("c.cell_id").alias("cell_id"),
+        F.col("c.label").alias("label")
+    ).orderBy("doc_id", "cell_id")
+
+
+def _q_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 range slice: deterministic order + row_number window filter."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") > 100) & (F.col("rn") <= 120))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # queries — relational core over TPC-H-ish tables (scan/filter/join/agg/window)
 # ---------------------------------------------------------------------------
 
@@ -447,6 +509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "rejection_summary": _q_rejection_summary,
+        "timings_rollup": _q_timings_rollup,
+        "consolidation_pivot": _q_consolidation_pivot,
+        "kv_graph_labels": _q_kv_graph_labels,
+        "range_slice": _q_range_slice,
         "pricing_summary": _q_pricing_summary,
         "top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
@@ -637,6 +704,43 @@ def oracle_sql() -> dict[str, str]:
             f"round(avg(length(replace(text, ' ', '')) "
             f"  * 1.0 / len(string_split(text, ' '))), 6) AS avg_word_len "
             f"FROM documents GROUP BY source ORDER BY source"
+        ),
+        "rejection_summary": (
+            "SELECT CASE WHEN doc_id % 11 = 0 THEN 'invalid_conversion_status' "
+            "WHEN doc_id % 13 = 0 THEN 'missing_prediction' "
+            "ELSE 'accepted' END AS reason, count(*) AS n "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "timings_rollup": (
+            "WITH s AS (SELECT * FROM (VALUES ('tokenize', 1), ('classify', 2), "
+            "('assemble', 3)) AS t(stage, k)), "
+            "x AS (SELECT stage, 1.5 * ((doc_id * k) % 100) / 100.0 AS tot "
+            "FROM documents, s) "
+            "SELECT stage, count(*) AS n_docs, round(sum(tot), 6) AS total_sec, "
+            "round(avg(tot), 6) AS mean_sec FROM x GROUP BY stage ORDER BY stage"
+        ),
+        "consolidation_pivot": (
+            "SELECT source, "
+            "cast(count(CASE WHEN lang = 'de' THEN 1 END) AS bigint) AS de, "
+            "cast(count(CASE WHEN lang = 'en' THEN 1 END) AS bigint) AS en, "
+            "cast(count(CASE WHEN lang = 'es' THEN 1 END) AS bigint) AS es, "
+            "cast(count(CASE WHEN lang = 'fr' THEN 1 END) AS bigint) AS fr, "
+            "cast(count(CASE WHEN lang = 'zh' THEN 1 END) AS bigint) AS zh "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "kv_graph_labels": (
+            "WITH d AS (SELECT doc_id, cast(doc_id % 3 + 3 AS int) AS n "
+            "FROM documents) "
+            "SELECT doc_id, cast(cell_id AS int) AS cell_id, "
+            "CASE WHEN cell_id = n - 1 THEN 'VALUE' "
+            "WHEN cell_id = 0 OR cell_id = n - 2 THEN 'KEY' "
+            "ELSE 'UNSPECIFIED' END AS label "
+            "FROM d, unnest(range(0, n)) AS u(cell_id) "
+            "ORDER BY doc_id, cell_id"
+        ),
+        "range_slice": (
+            "SELECT doc_id, lang FROM documents ORDER BY doc_id "
+            "LIMIT 20 OFFSET 100"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1,0 +1,75 @@
+"""Rejection counters, timings rollup, consolidation pivot, KV-graph
+classification, JSON sink (SURVEY.md §2.4 A3/A9/A11, §2.8 F18, §2.1 S8)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+class TestReportOps:
+    def test_rejection_reasons_partition_all_docs(self, spark, sf_dir):
+        from docling_eval_spark.plans.report import (
+            docs_table,
+            rejection_summary,
+            with_synthetic_status,
+        )
+
+        docs = with_synthetic_status(docs_table(spark, sf_dir))
+        n = docs.count()
+        rows = {r["reason"]: r["n"] for r in rejection_summary(docs).collect()}
+        assert sum(rows.values()) == n
+        assert set(rows) == {"accepted", "invalid_conversion_status",
+                             "missing_prediction"}
+        # status gate wins over missing-pred (reference check order):
+        # doc_id 0 is both % 11 == 0 and % 13 == 0
+        assert rows["invalid_conversion_status"] == docs.where(
+            F.col("doc_id") % 11 == 0).count()
+
+    def test_timings_rollup_no_python_stage(self, spark, sf_dir):
+        from docling_eval_spark.plans.report import (
+            docs_table,
+            timings_rollup,
+            with_synthetic_timings,
+        )
+
+        out = timings_rollup(with_synthetic_timings(docs_table(spark, sf_dir)))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan  # map explode + HOF agg stay JVM-side
+        rows = {r["stage"]: r for r in out.collect()}
+        assert set(rows) == {"tokenize", "classify", "assemble"}
+        # stage list is [t, t/2] -> per-doc total 1.5t
+        some = rows["tokenize"]
+        assert some["total_sec"] > 0 and some["mean_sec"] > 0
+
+    def test_consolidation_pivot_row_sums(self, spark, sf_dir):
+        from docling_eval_spark.plans.report import consolidation_pivot, docs_table
+
+        docs = docs_table(spark, sf_dir)
+        piv = consolidation_pivot(docs).collect()
+        total = sum(sum(r[l] for l in ("de", "en", "es", "fr", "zh"))
+                    for r in piv)
+        assert total == docs.count()
+
+    def test_kv_graph_chain_labels(self, spark):
+        from docling_eval_spark.functions.kv_graph import chain_graph, classify_kv_cells
+
+        df = spark.range(3, 6).select(F.col("id").cast("int").alias("n"))
+        cells, links = chain_graph(F.col("n"))
+        out = df.select("n", classify_kv_cells(cells, links).alias("lab")).collect()
+        for row in out:
+            labels = [c["label"] for c in row["lab"]]
+            n = row["n"]
+            expect = ["KEY"] + ["UNSPECIFIED"] * (n - 3) + ["KEY", "VALUE"]
+            assert labels == expect, (n, labels)
+
+    def test_json_sink(self, spark, sf_dir, tmp_path):
+        from docling_eval_spark.plans.report import write_evaluation_json
+
+        p = str(tmp_path / "evaluation_test_markdown.json")
+        write_evaluation_json({"mean_bleu": 1.0, "total": 500}, p,
+                              benchmark="synthetic", modality="markdown")
+        doc = json.loads(open(p).read())
+        assert doc["evaluation"]["total"] == 500
+        assert doc["modality"] == "markdown"
