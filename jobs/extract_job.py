@@ -1,0 +1,81 @@
+"""The production extraction job — `spark-submit --py-files` entry point.
+
+    spark-submit --py-files dist/docling_eval_spark.zip jobs/extract_job.py \
+        --input  <pages table path>      (input_hint schema)  \
+        --output <scored output path>                          \
+        --lineage <lineage sidecar path>                       \
+        --checkpoint-resume --run-id <id> [--partitions N]
+
+Pipeline (north rule): scan -> resume anti-join on committed urls ->
+size-balanced salted repartition -> fused extract+score mapInPandas ->
+append scored rows + per-partition lineage sidecar. Idempotent restart:
+a killed job re-submitted with --checkpoint-resume skips everything the
+committed output already contains. On an Iceberg deployment the
+parquet read/append below become `spark.table(...)` /
+`writeTo(...).append()` and the snapshot IS the checkpoint — the plan
+shape is identical (operators/resume.py docstring).
+
+Synthetic mode (--synth-from DIR) generates the pages table from the
+documents parquet for hermetic runs/benchmarks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--synth-from", help="documents parquet dir (hermetic synthetic mode)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--checkpoint-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from docling_eval_spark.operators.lineage import append_lineage
+    from docling_eval_spark.operators.resume import resume_filter
+    from docling_eval_spark.plans.pipeline import extract_and_score, flagship
+
+    spark = SparkSession.builder.appName("extract-job").getOrCreate()
+    sc = spark.sparkContext
+    n_parts = args.partitions or sc.defaultParallelism * 2
+    run_id = args.run_id or f"run-{int(time.time())}"
+
+    if args.synth_from:
+        scored = flagship(spark, args.synth_from, n_partitions=n_parts)
+        key = "doc_id"
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+        if args.checkpoint_resume:
+            pages = resume_filter(pages, spark, args.output, key="url")
+        scored = extract_and_score(pages, n_partitions=n_parts)
+        key = "url"
+    else:
+        ap.error("one of --input / --synth-from is required")
+        return
+
+    if args.synth_from and args.checkpoint_resume:
+        scored = resume_filter(scored, spark, args.output, key=key)
+
+    out_cols = [c for c in scored.columns if c not in ("spans", "tables")]
+    scored = scored.select(*out_cols)
+    scored.write.mode("append").parquet(args.output)
+
+    committed = spark.read.parquet(args.output)
+    append_lineage(committed, run_id, args.lineage)
+    n = committed.count()
+    ok = committed.where("byte_identical").count()
+    print(f"extract-job run_id={run_id} committed={n} byte_identical={ok} "
+          f"rate={ok / max(n, 1):.6f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
