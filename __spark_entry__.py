@@ -68,6 +68,40 @@ def _q_extract_identity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_extract_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF path (north rule): scrambled positioned-span blobs -> geometric
+    reading-order recovery -> byte-identical text (extraction/pdf_spans.py).
+    Blob synthesis is fused into the same Arrow stage as parsing so binary
+    payloads never cross an exchange."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.extraction.pdf_spans import (
+        build_pdf_blob,
+        parse_pdf_blob,
+        spans_to_text,
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = build_pdf_blob(int(doc_id), text)
+                rows.append((int(doc_id), spans_to_text(parse_pdf_blob(blob))))
+            yield pd.DataFrame(rows, columns=["doc_id", "extracted_text"])
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    out = docs.mapInPandas(gen, schema="doc_id bigint, extracted_text string")
+    return out.select(
+        "doc_id", F.md5(F.encode("extracted_text", "utf-8")).alias("text_md5"))
+
+
 def _q_teds_tables_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEDS of extracted table vs regenerated GT on every table page: 1.0
     by construction (table pipeline: SURVEY.md §2.8 F1-F5, §2.4 A7)."""
@@ -190,7 +224,11 @@ def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.dedup import minhash_dedup_pairs, with_near_dups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    corpus = with_near_dups(docs)
+    # small parquet = few input splits; spread the CPU-heavy signature and
+    # shingle stages across the cluster before any Python runs
+    n_parts = spark.sparkContext.defaultParallelism
+    corpus = with_near_dups(docs).repartition(
+        n_parts, F.xxhash64("doc_id", F.lit(0x5EED)))
     pairs = minhash_dedup_pairs(corpus, threshold=0.8)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard")) \
         .orderBy("a", "b")
@@ -489,6 +527,7 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_md5": _q_extract_text_md5,
+        "pdf_extract_text_md5": _q_pdf_extract_text_md5,
         "extract_identity_rate": _q_extract_identity_rate,
         "extract_block_counts": _q_extract_block_counts,
         "teds_tables_identity": _q_teds_tables_identity,
@@ -530,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         # closed-form oracles: the corpus generator guarantees byte-identical
         # extraction, so the oracle is the text column itself
         "extract_text_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "pdf_extract_text_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "extract_identity_rate": (
             "SELECT count(*) AS n_docs, count(*) AS n_identical FROM documents"
         ),

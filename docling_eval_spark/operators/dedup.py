@@ -56,15 +56,39 @@ def _minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
+_P1 = np.int64(1_000_003)  # polynomial base for vectorized gram combining
+
+
+def _shingle_hashes(text: str, n: int,
+                    _cache: dict = {}) -> np.ndarray:  # noqa: B006 (worker-lifetime memo)
+    """Unique 61-bit hashes of word n-grams, vectorized.
+
+    Per-TOKEN blake2b (memoized across the Arrow batch/worker lifetime —
+    natural-language token frequencies are Zipf, so the cache hit rate is
+    high), then n-gram hashes combined arithmetically over the token-hash
+    array with numpy — no per-gram string building or hashing.
+    """
     toks = text.split()
     if len(toks) < n:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(np.array(
-        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 3
-         for g in grams], dtype=np.int64))
+        g = " ".join(toks) if toks else ""
+        v = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                           "big") >> 3
+        return np.array([v], dtype=np.int64)
+    if len(_cache) > 2_000_000:
+        _cache.clear()
+    th = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        v = _cache.get(t)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 3
+            _cache[t] = v
+        th[i] = v
+    acc = th[: len(toks) - n + 1].copy()
+    with np.errstate(over="ignore"):
+        for k in range(1, n):
+            acc = acc * _P1 + th[k: len(toks) - n + 1 + k]
+    return np.unique(acc >> np.int64(3) & np.int64((1 << 61) - 1))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id",
