@@ -524,6 +524,17 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=3)
 
 
+def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == n_clusters: exact by construction, so the
+    brute-force SQL oracle gates the whole train/assign/probe machinery."""
+    from docling_eval_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    queries_df = emb.where(F.col("vec_id") < 3)
+    return ivf_topk(queries_df, emb, k=3, n_clusters=8, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_md5": _q_extract_text_md5,
@@ -560,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": _q_top_parts_per_brand,
         "cumulative_histogram": _q_cumulative_histogram,
         "embedding_topk": _q_embedding_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
     }
 
 
@@ -826,6 +838,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM h ORDER BY bucket"
         ),
         "embedding_topk": (
+            "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.embedding, n.embedding), 4) AS cosine "
+            "FROM embeddings q, embeddings n "
+            "WHERE q.vec_id < 3 AND n.vec_id != q.vec_id "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            "  ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) <= 3 "
+            "ORDER BY query_id, cosine DESC, neighbor_id"
+        ),
+        "embedding_ivf_topk": (
             "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
             "round(list_cosine_similarity(q.embedding, n.embedding), 4) AS cosine "
             "FROM embeddings q, embeddings n "

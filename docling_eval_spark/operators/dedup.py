@@ -110,10 +110,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id
 
 
 def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
-                           bands: int = 16, rows_per_band: int = 8) -> DataFrame:
+                           bands: int = 32, rows_per_band: int = 4) -> DataFrame:
     """Banded LSH: equal band-slices -> candidate pairs (a < b).
 
     Shuffle cost: bands x n rows of (16-byte key, hash) — never quadratic.
+    Band geometry is tuned to the verify threshold: with K=128 hashes,
+    b=32/r=4 gives detection probability 1-(1-J^4)^32 ≈ 1-5e-8 at J=0.8
+    (vs ~0.95 for b=16/r=8, which deterministically MISSES borderline
+    pairs). The extra sub-threshold candidates this admits are discarded
+    by the exact Jaccard verify, trading bounded extra compute for recall.
     """
     banded = sigs.select(
         key,

@@ -149,3 +149,93 @@ def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# -- IVF (inverted-file) approximate nearest neighbor ------------------------
+#
+# The coarse-quantizer path for 10^12-vector corpora: k centroids trained
+# with a few distributed Lloyd iterations, every vector assigned to its
+# nearest centroid (one numpy GEMM per Arrow batch — no per-row Python),
+# queries probe only the nprobe nearest centroid buckets. Candidate volume
+# per query drops from |corpus| to ~|corpus| * nprobe / k. With
+# nprobe == n_clusters the search is EXACT (identical to brute force) —
+# the property the tests pin down; recall-vs-probe tradeoffs ride on top.
+
+
+def _assign_buckets(df: DataFrame, centroids: "np.ndarray", id_col: str,
+                    vec_col: str, nprobe: int = 1) -> DataFrame:
+    """(id, vec, bucket...) via argmax-cosine against broadcast centroids.
+    nprobe > 1 emits one row per probed bucket (query side)."""
+    import pandas as pd
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def gen(it):
+        for pdf in it:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ cn.T                        # [B, k]
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            rows = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                vec_col: [v for v in pdf[vec_col] for _ in range(nprobe)],
+                "bucket": order.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, {vec_col} array<double>, bucket int")
+
+
+def ivf_train(corpus: DataFrame, n_clusters: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic distributed Lloyd: init = vectors of the n_clusters
+    smallest ids; each iteration assigns (GEMM batches) and re-averages
+    per-bucket via a native posexplode + groupBy partial+final aggregate."""
+    base = corpus.select(F.col(id_col).alias(id_col),
+                         _as_double(F.col(vec_col)).alias(vec_col))
+    init = (base.orderBy(id_col).limit(n_clusters).collect())
+    centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = _assign_buckets(base, centroids, id_col, vec_col)
+        means = (
+            assigned.select("bucket", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r["bucket"], r["pos"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             n_clusters: int = 16, nprobe: int = 4, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: "np.ndarray | None" = None) -> DataFrame:
+    """IVF ANN top-k: score only vectors in the query's nprobe buckets."""
+    base_c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           _as_double(F.col(vec_col)).alias("cv"))
+    base_q = queries.select(F.col(id_col).alias("query_id"),
+                            _as_double(F.col(vec_col)).alias("qv"))
+    if centroids is None:
+        centroids = ivf_train(corpus, n_clusters, iters, id_col, vec_col)
+    c_assigned = _assign_buckets(base_c, centroids, "neighbor_id", "cv")
+    q_probes = _assign_buckets(base_q, centroids, "query_id", "qv",
+                               nprobe=min(nprobe, len(centroids)))
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+        .distinct()  # a neighbor can appear via several probed buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )

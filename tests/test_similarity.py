@@ -1,0 +1,64 @@
+"""Similarity-search tests: brute-force exactness, LSH plumbing, and the
+IVF identity property (nprobe == n_clusters -> identical to brute force)
+plus a partial-probe recall floor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, spark, sf_dir):
+        from docling_eval_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        emb = _emb(spark, sf_dir)
+        queries = emb.where(F.col("vec_id") < 5)
+        exact = brute_force_topk(queries, emb, k=5).collect()
+        ivf = ivf_topk(queries, emb, k=5, n_clusters=8, nprobe=8).collect()
+        assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+    def test_partial_probe_recall(self, spark, sf_dir):
+        from docling_eval_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        emb = _emb(spark, sf_dir)
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = brute_force_topk(queries, emb, k=3).collect()
+        approx = ivf_topk(queries, emb, k=3, n_clusters=8, nprobe=3).collect()
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.5, recall  # deterministic given seed/data
+
+    def test_train_deterministic(self, spark, sf_dir):
+        from docling_eval_spark.operators.similarity import ivf_train
+
+        emb = _emb(spark, sf_dir)
+        c1 = ivf_train(emb, n_clusters=4, iters=1)
+        c2 = ivf_train(emb, n_clusters=4, iters=1)
+        assert (c1 == c2).all()
+
+
+class TestLSH:
+    def test_scaled_copy_pairs_always_found(self, spark, sf_dir):
+        from docling_eval_spark.operators.similarity import (
+            lsh_near_dup_pairs,
+            with_scaled_copies,
+        )
+
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        pairs = lsh_near_dup_pairs(with_scaled_copies(emb)).collect()
+        assert len(pairs) == n  # every (v, 2v) pair, nothing else
+        assert all(r["cosine"] == 1.0 for r in pairs)
+        assert all(r["b"] - r["a"] == 1_000_000_000 for r in pairs)
