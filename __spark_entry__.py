@@ -167,6 +167,20 @@ def _q_reading_order_ard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bbox_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-IoU box pairing + matched-text scoring (SURVEY.md §2.3 J3;
+    reference bbox_text_evaluator.py)."""
+    from docling_eval_spark.plans.bbox_text_eval import bbox_text_scores
+
+    s = bbox_text_scores(spark, sf_dir)
+    return s.select(
+        "doc_id", "n_matched", "n_orphan_gt", "n_orphan_pred",
+        F.round("mean_iou", 6).alias("mean_iou"),
+        F.round("mean_f1", 6).alias("mean_f1"),
+        F.round("mean_edit", 6).alias("mean_edit"),
+    )
+
+
 def _q_ocr_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CER / char accuracy over deterministic degradations (F12)."""
     from docling_eval_spark.plans.ocr_eval import ocr_scores
@@ -545,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_image_metrics": _q_layout_image_metrics,
         "layout_corpus_map": _q_layout_corpus_map,
         "reading_order_ard": _q_reading_order_ard,
+        "bbox_text_metrics": _q_bbox_text_metrics,
         "ocr_cer": _q_ocr_cer,
         "doc_stats": _q_doc_stats,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -633,6 +648,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN m = 3 THEN round(1 - 2.0/(n*n*n), 6) ELSE 1.0 "
             "END AS w_ard_norm "
             "FROM d"
+        ),
+        "bbox_text_metrics": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 4 AS m "
+            "FROM documents WHERE doc_id % 4 < 3) "
+            "SELECT doc_id, "
+            "cast(CASE WHEN m = 1 THEN n - 1 ELSE n END AS int) AS n_matched, "
+            "cast(CASE WHEN m = 1 THEN 1 ELSE 0 END AS int) AS n_orphan_gt, "
+            "0 AS n_orphan_pred, "
+            "CASE WHEN m = 2 THEN round(144.0/176.0, 6) ELSE 1.0 END AS mean_iou, "
+            "1.0 AS mean_f1, 0.0 AS mean_edit FROM d"
         ),
         "ocr_cer": (
             "SELECT doc_id, cast(doc_id % 3 AS int) AS mode, "

@@ -218,3 +218,37 @@ def mask_precision_recall_f1(
     recall = inter / g_area if g_area > 0 else 0.0
     f1 = 2 * precision * recall / (precision + recall) if (precision + recall) > 0 else 0.0
     return precision, recall, f1
+
+
+def greedy_argmax_iou_match(
+    pivot_boxes: np.ndarray,
+    other_boxes: np.ndarray,
+) -> tuple[list[tuple[int, int, float]], list[int], list[int]]:
+    """Argmax-IoU pairing (reference bbox_text_evaluator.py:181-292).
+
+    For each `other` box, pair it with the argmax-IoU `pivot` box with
+    IoU > 0 (reference :227-239); pivots may pair with multiple others
+    there — here each pivot is consumed once (greedy in `other` order) so
+    the match is 1:1, matching the evaluator's downstream text pairing.
+    Orphans on both sides are returned (reference :241-249 keeps them as
+    unmatched evaluation units).
+
+    Returns (matches [(other_idx, pivot_idx, iou)], orphan_others,
+    orphan_pivots).
+    """
+    ious = iou_matrix(other_boxes, pivot_boxes) if len(pivot_boxes) and len(other_boxes) \
+        else np.zeros((len(other_boxes), len(pivot_boxes)))
+    taken = np.zeros(len(pivot_boxes), dtype=bool)
+    matches: list[tuple[int, int, float]] = []
+    orphan_others: list[int] = []
+    for o in range(len(other_boxes)):
+        row = ious[o].copy()
+        row[taken] = -1.0
+        if row.size == 0 or row.max() <= 0.0:
+            orphan_others.append(o)
+            continue
+        p = int(row.argmax())
+        taken[p] = True
+        matches.append((o, p, float(ious[o, p])))
+    orphan_pivots = [p for p in range(len(pivot_boxes)) if not taken[p]]
+    return matches, orphan_others, orphan_pivots
