@@ -181,6 +181,38 @@ def _q_bbox_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_markdown_export_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown export (F6): labeled spans of the layout corpus -> md5 of
+    the deterministic markdown document; the oracle rebuilds the exact
+    string in SQL."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.corpus.layout_synth import n_boxes
+    from docling_eval_spark.functions.markdown_export import spans_to_markdown
+    from docling_eval_spark.plans.bbox_text_eval import box_text
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                spans = [("title" if k == 0 else "text", box_text(d, k))
+                         for k in range(n_boxes(d))]
+                rows.append((d, spans_to_markdown(spans)))
+            yield pd.DataFrame(rows, columns=["doc_id", "markdown"])
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    out = docs.mapInPandas(gen, schema="doc_id bigint, markdown string")
+    return out.select(
+        "doc_id", F.md5(F.encode("markdown", "utf-8")).alias("md_md5"))
+
+
 def _q_ocr_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CER / char accuracy over deterministic degradations (F12)."""
     from docling_eval_spark.plans.ocr_eval import ocr_scores
@@ -560,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_corpus_map": _q_layout_corpus_map,
         "reading_order_ard": _q_reading_order_ard,
         "bbox_text_metrics": _q_bbox_text_metrics,
+        "markdown_export_md5": _q_markdown_export_md5,
         "ocr_cer": _q_ocr_cer,
         "doc_stats": _q_doc_stats,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -658,6 +691,16 @@ def oracle_sql() -> dict[str, str]:
             "0 AS n_orphan_pred, "
             "CASE WHEN m = 2 THEN round(144.0/176.0, 6) ELSE 1.0 END AS mean_iou, "
             "1.0 AS mean_f1, 0.0 AS mean_edit FROM d"
+        ),
+        "markdown_export_md5": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents) "
+            "SELECT doc_id, md5("
+            "'# block ' || (doc_id % 97) || ' 0 content words' || "
+            "chr(10) || chr(10) || array_to_string("
+            "  list_transform(range(1, n), "
+            "    k -> 'block ' || (doc_id % 97) || ' ' || k || ' content words'), "
+            "  chr(10) || chr(10))"
+            ") AS md_md5 FROM d"
         ),
         "ocr_cer": (
             "SELECT doc_id, cast(doc_id % 3 AS int) AS mode, "

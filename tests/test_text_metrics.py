@@ -118,3 +118,25 @@ class TestScorePair:
         text = "Ελληνικά κείμενο — ümlauts & çedillas 中文"
         m = score_text_pair(text, text)
         assert m["edit_distance"] == 0.0
+
+
+class TestMarkdownExport:
+    """F6 markdown export (functions/markdown_export.py)."""
+
+    def test_label_mapping(self):
+        from docling_eval_spark.functions.markdown_export import spans_to_markdown
+
+        md = spans_to_markdown([
+            ("title", "Doc"), ("section_header", "Intro"),
+            ("text", "Body."), ("list_item", "bullet"),
+            ("code", "x = 1"), ("picture", "ignored-bytes"),
+            ("page_footer", "DROPPED"), ("caption", "Fig 1"),
+        ])
+        assert md == ("# Doc\n\n## Intro\n\nBody.\n\n- bullet\n\n"
+                      "```\nx = 1\n```\n\n<!-- image -->\n\nFig 1")
+
+    def test_empty(self):
+        from docling_eval_spark.functions.markdown_export import spans_to_markdown
+
+        assert spans_to_markdown([]) == ""
+        assert spans_to_markdown([("page_header", "x")]) == ""
