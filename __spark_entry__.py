@@ -534,6 +534,34 @@ def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization via native session_window (30-min gap):
+    per-user session count + event count. The streaming-capable operator
+    run in batch; the oracle is the classic gaps-and-islands SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def _q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (F20-family): extract props.k, roll up."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+             F.round(F.avg("k"), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
 def _q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window/top-k (W-ops, O1): rank parts by retailprice within brand."""
     from pyspark.sql import Window
@@ -616,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
         "events_daily": _q_events_daily,
+        "event_sessions": _q_event_sessions,
+        "event_json_props": _q_event_json_props,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "cumulative_histogram": _q_cumulative_histogram,
         "embedding_topk": _q_embedding_topk,
@@ -891,6 +921,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cast(ts AS date) AS day, event_type, count(*) AS n, "
             "round(sum(value), 4) AS sum_value FROM events "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "event_sessions": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, cast(count(DISTINCT sid) AS bigint) AS n_sessions, "
+            "count(*) AS n_events FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "event_json_props": (
+            "SELECT event_type, count(*) AS n, "
+            "sum(cast(props->>'k' AS bigint)) AS sum_k, "
+            "round(avg(cast(props->>'k' AS bigint)), 6) AS avg_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "top_parts_per_brand": (
             "SELECT p_brand, rk, p_partkey, round(p_retailprice, 4) AS price FROM ("

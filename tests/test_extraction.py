@@ -132,3 +132,46 @@ class TestRoundTrip:
         from collections import Counter
         top = Counter(hosts).most_common(1)[0][1]
         assert top > 50  # heavy head out of 2000 docs across 1000 hosts
+
+
+class TestHostileHtml:
+    """Crash-safety + determinism on malformed/adversarial HTML. Byte
+    identity is only promised for generator pages; for arbitrary bytes the
+    extractor must never raise and must be a pure function."""
+
+    CASES = [
+        b"",
+        b"not html at all \xff\xfe garbage",
+        b"<html><p>unclosed paragraph<div>and <b>unclosed bold",
+        b"<!-- comment only -->",
+        b"<script>var s = '<p>fake</p>';</script><p>real body text here now</p>",
+        b"<style>p { color: red }</style><p>styled body text content here</p>",
+        b"<p>" + b"deep " * 5000 + b"</p>",
+        b"<div><div><div><div><div><div><div><div>nested</div></div></div>",
+        b"<p>&amp; &lt; &gt; &#65; &unknown; &#x41;</p>",
+        b"<table><tr><td>orphan table cell",
+        b"<P CLASS='X'>UPPERCASE TAGS AND <A HREF=x>attr soup</A></P>",
+        b"<![CDATA[ raw ]]><p>after cdata</p>",
+        "<p>unicode ☃ \U0001f600 mixed</p>".encode(),
+        b"<p>text</p>" * 3000,
+    ]
+
+    @pytest.mark.parametrize("raw", CASES)
+    def test_never_raises_and_deterministic(self, raw):
+        from docling_eval_spark.extraction.boilerplate import extract_main_text
+
+        html = raw.decode("utf-8", errors="replace")
+        r1 = extract_main_text(html)
+        r2 = extract_main_text(html)
+        assert r1["text"] == r2["text"]
+        assert r1["n_blocks"] == r2["n_blocks"]
+        assert isinstance(r1["text"], str)
+
+    def test_script_string_not_leaked(self):
+        from docling_eval_spark.extraction.boilerplate import extract_main_text
+
+        r = extract_main_text(
+            "<script>var s='<p>fake</p>';</script>"
+            "<article><p>real body text content here</p></article>")
+        assert "fake" not in r["text"]
+        assert "real body text" in r["text"]
