@@ -1,0 +1,107 @@
+"""Fast regex HTML tokenizer — same Block output, ~4x the stdlib parser.
+
+The hot path of the whole engine is parse_blocks (92% of extraction time
+was inside stdlib html.parser's per-character goahead loop). This
+tokenizer drives the SAME event sink (_BlockParser handlers in
+html_tokenizer.py) from one compiled scanner regex:
+
+  - comments / doctype / CDATA / processing instructions skipped whole;
+  - start / end / self-closing tags matched with quote-aware attribute
+    scanning (">" allowed inside quoted attribute values);
+  - character data is entity-decoded only when an "&" is present;
+  - script/style are raw-text elements: one str.find to the literal
+    close tag (HTMLParser CDATA semantics), no tokenization inside.
+
+Parity: byte-identical Block output vs the stdlib-parser path on all
+well-formed input (tested over the full generator corpus); on hostile
+markup both are crash-free and deterministic but may differ on
+HTMLParser's error-recovery corner cases — the extraction gate only
+promises byte identity for well-formed pages.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+_TOKEN = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"
+    r"|<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/)?>"
+    r"|[^<]+"
+    r"|<",
+    re.S,
+)
+
+_ATTR = re.compile(
+    r"([a-zA-Z_:@][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?",
+)
+
+_RAW_TEXT = {"script", "style"}
+
+
+def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
+    if not s or not s.strip():
+        return []
+    out = []
+    for m in _ATTR.finditer(s):
+        name = m.group(1).lower()
+        if m.group(2) is None:
+            out.append((name, None))
+        else:
+            v = m.group(3) if m.group(3) is not None else (
+                m.group(4) if m.group(4) is not None else m.group(5) or "")
+            out.append((name, unescape(v) if "&" in v else v))
+    return out
+
+
+def tokenize(html: str, sink) -> None:
+    """Drive `sink` (handle_starttag/handle_endtag/handle_startendtag/
+    handle_data) over `html`."""
+    lower = None  # lazily lowered copy for raw-text close-tag search
+    pos = 0
+    n = len(html)
+    match = _TOKEN.match
+    data = sink.handle_data
+    start = sink.handle_starttag
+    endt = sink.handle_endtag
+    while pos < n:
+        m = match(html, pos)
+        if m is None:  # pragma: no cover - scanner is total
+            break
+        end = m.end()
+        li = m.lastindex
+        if li is None:  # text / comment / doctype / CDATA / PI
+            tok = m.group(0)
+            if tok[0] != "<":
+                data(unescape(tok) if "&" in tok else tok)
+            elif len(tok) == 1:
+                data("<")
+        elif li == 1:  # end tag
+            endt(m.group(1).lower())
+        else:  # start or self-closing tag
+            tag = m.group(2).lower()
+            attrs_s = m.group(3)
+            attrs = _parse_attrs(attrs_s) if attrs_s else []
+            if m.group(4):
+                sink.handle_startendtag(tag, attrs)
+            else:
+                start(tag, attrs)
+                if tag in _RAW_TEXT:
+                    if lower is None:
+                        lower = html.lower()
+                    close = lower.find("</" + tag, end)
+                    if close == -1:
+                        data(html[end:])
+                        pos = n
+                        continue
+                    if close > end:
+                        data(html[end:close])
+                    gt = html.find(">", close)
+                    endt(tag)
+                    end = (gt + 1) if gt != -1 else n
+        pos = end

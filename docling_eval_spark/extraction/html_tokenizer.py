@@ -195,9 +195,21 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def parse_blocks(html: str) -> list[Block]:
-    """Tokenize an HTML document into the flat block list."""
+def parse_blocks(html: str, engine: str = "fast") -> list[Block]:
+    """Tokenize an HTML document into the flat block list.
+
+    engine="fast" drives the same _BlockParser event sink from the regex
+    scanner (extraction/fast_tokenizer.py, ~4x); engine="stdlib" keeps the
+    HTMLParser loop as the reference implementation — parity between the
+    two is pinned by tests over the full generator corpus.
+    """
     p = _BlockParser()
-    p.feed(html)
-    p.close()
+    if engine == "fast":
+        from .fast_tokenizer import tokenize
+
+        tokenize(html, p)
+        p._flush()
+    else:
+        p.feed(html)
+        p.close()
     return p.blocks

@@ -175,3 +175,52 @@ class TestHostileHtml:
             "<article><p>real body text content here</p></article>")
         assert "fake" not in r["text"]
         assert "real body text" in r["text"]
+
+
+class TestFastTokenizerParity:
+    """The fast regex tokenizer must produce byte-identical Block output
+    to the stdlib-HTMLParser reference path on all well-formed input."""
+
+    def _key(self, blocks):
+        return [(b.text, b.tag, b.anchor_chars, b.is_heading,
+                 b.boiler_ancestor, b.content_ancestor, b.kind, b.table_html)
+                for b in blocks]
+
+    def test_parity_over_generator_corpus(self):
+        import duckdb
+
+        from docling_eval_spark.corpus.html_synth import synth_html
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        rows = duckdb.connect().execute(
+            "SELECT doc_id, text, lang FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')").fetchall()
+        for d, t, l in rows:
+            h = synth_html(d, t, l).decode()
+            assert self._key(parse_blocks(h, "fast")) == \
+                self._key(parse_blocks(h, "stdlib")), d
+
+    def test_parity_handcrafted(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        cases = [
+            '<p>a &amp; b</p><script>var x="<p>no</p>";</script><p>c</p>',
+            '<div><a href="x>y">link text</a> tail</div>',
+            "<P CLASS='u'>UPPER</P><ul><li>one<li>two</ul>",
+            '<table id="t"><tr><td colspan="2">c &lt;3</td></tr></table>',
+            '<!-- c --><!DOCTYPE html><?pi ?><p>after</p>',
+            '<article><p>body &#65;&#x42;</p></article>',
+            '<p>br<br/>line<br>next</p>',
+            '<style>p:before{content:"<q>"}</style><p>visible words</p>',
+        ]
+        for h in cases:
+            assert self._key(parse_blocks(h, "fast")) == \
+                self._key(parse_blocks(h, "stdlib")), h
+
+    def test_fast_hostile_no_crash(self):
+        from docling_eval_spark.extraction.boilerplate import extract_main_text
+
+        for raw in TestHostileHtml.CASES:
+            html = raw.decode("utf-8", errors="replace")
+            r = extract_main_text(html)
+            assert r == extract_main_text(html)

@@ -117,3 +117,32 @@ class TestResume:
         n3 = run_resumable(pages, transform, spark, out)
         assert n3 == 500
         assert spark.read.parquet(out).select("url").distinct().count() == 500
+
+
+class TestSkewBounding:
+    """Evidence that the explicit size-balanced salting bounds per-task
+    byte volume under heavy-tailed length(html) (SURVEY.md §7 hard part 3).
+    """
+
+    def test_heavy_rows_spread_across_partitions(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.corpus.generator import pages_from_documents
+        from docling_eval_spark.operators.skew import size_balanced_repartition
+
+        pages = pages_from_documents(spark, sf_dir)
+        # adversarial input: all pages funneled into ONE partition (the
+        # crawl-host clustering pathology)
+        clustered = pages.repartition(1)
+        balanced = size_balanced_repartition(clustered, 8,
+                                             heavy_threshold=1024)
+        per_part = (
+            balanced.select(F.spark_partition_id().alias("p"),
+                            F.length("html").alias("b"))
+            .groupBy("p").agg(F.sum("b").alias("bytes"))
+            .collect()
+        )
+        sizes = [r["bytes"] for r in per_part]
+        assert len(sizes) == 8
+        # no partition may carry more than 3x the mean byte volume
+        assert max(sizes) <= 3 * (sum(sizes) / len(sizes)), sizes
