@@ -375,6 +375,29 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style keep/drop filter over quality features
+    (training-data curation): per-lang kept/dropped accounting."""
+    from docling_eval_spark.operators.text_analysis import with_quality_features
+
+    df = with_quality_features(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text")
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 12.0)
+        & (F.col("stopword_ratio") >= 0.01)
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.avg(keep.cast("double")), 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting per lang (text-analysis op)."""
     from docling_eval_spark.operators.text_analysis import with_token_count
@@ -635,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "quality_filter": _q_quality_filter,
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
         "consolidation_pivot": _q_consolidation_pivot,
@@ -841,6 +865,21 @@ def oracle_sql() -> dict[str, str]:
             "cast(list_sum(list_transform(range(0, nch, 4), "
             "  i -> least(1024, len - i * 1024))) AS bigint) AS sampled_bytes "
             "FROM p ORDER BY doc_id"
+        ),
+        "quality_filter": (
+            "WITH f AS (SELECT lang, "
+            "len(string_split(text, ' ')) AS n_words, "
+            "length(replace(text, ' ', '')) * 1.0 "
+            "  / len(string_split(text, ' ')) AS mwl, "
+            f"len(list_filter(string_split(text, ' '), w -> w IN ({stop_list}))) "
+            "  * 1.0 / len(string_split(text, ' ')) AS swr "
+            "FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(CASE WHEN n_words >= 10 AND mwl >= 3.0 AND mwl <= 12.0 "
+            "AND swr >= 0.01 THEN 1 ELSE 0 END) AS n_kept, "
+            "round(avg(CASE WHEN n_words >= 10 AND mwl >= 3.0 AND mwl <= 12.0 "
+            "AND swr >= 0.01 THEN 1.0 ELSE 0.0 END), 6) AS keep_rate "
+            "FROM f GROUP BY lang ORDER BY lang"
         ),
         "token_counts": (
             "SELECT lang, sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens, "
