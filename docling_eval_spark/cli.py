@@ -1,0 +1,205 @@
+"""CLI mirroring the reference's command surface (docling_eval/cli/main.py
+:97-102 — create-gt, create-eval, evaluate, visualize, plus the
+consolidation wrapper aggregations/multi_evalutor.py + consolidator.py):
+
+    python -m docling_eval_spark.cli create-gt    --from-documents DIR --output PATH
+    python -m docling_eval_spark.cli create-eval  --input PATH --output PATH [--resume]
+    python -m docling_eval_spark.cli evaluate     --input PATH --modality M --output-dir DIR
+    python -m docling_eval_spark.cli visualize    --evaluation FILE.json --output-dir DIR
+    python -m docling_eval_spark.cli consolidate  --from-documents DIR --output FILE.csv
+
+Differences from the reference, by design:
+  - datasets are Spark tables (parquet here, Iceberg-shaped), not HF
+    dataset shards; `create-gt` synthesizes the deterministic pages corpus
+    (a real deployment points `create-eval --input` at the crawl table);
+  - every command is a DataFrame job; only `visualize` collects to the
+    driver (reference cli/main.py:534-771 draws matplotlib histograms —
+    no matplotlib in this environment, so the txt table of
+    evaluators/stats.py:53-74 is the output, with an import-gated PNG
+    path when matplotlib exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from .session import get_spark
+
+    master = f"local[{cpus}]" if cpus else None
+    return get_spark("docling-eval-spark-cli", master=master)
+
+
+def cmd_create_gt(args) -> None:
+    from .corpus.generator import pages_from_documents
+    from .sources.tables import write_pages_table
+
+    spark = _spark(args.cpus)
+    pages = pages_from_documents(spark, args.from_documents,
+                                 n_partitions=args.partitions)
+    write_pages_table(pages, args.output, mode="overwrite")
+    n = spark.read.parquet(args.output).count()
+    print(f"create-gt: wrote {n} pages to {args.output}")
+
+
+def cmd_create_eval(args) -> None:
+    from .operators.lineage import append_lineage
+    from .operators.resume import resume_filter
+    from .plans.pipeline import extract_and_score
+
+    spark = _spark(args.cpus)
+    pages = spark.read.parquet(args.input)
+    if args.resume:
+        pages = resume_filter(pages, spark, args.output, key="url")
+    scored = extract_and_score(pages, n_partitions=args.partitions)
+    scored = scored.drop("spans", "tables")
+    scored.write.mode("append").parquet(args.output)
+    if args.lineage:
+        append_lineage(spark.read.parquet(args.output), args.run_id or "cli",
+                       args.lineage)
+    n = spark.read.parquet(args.output).count()
+    print(f"create-eval: {n} scored rows committed to {args.output}")
+
+
+MODALITIES = ("markdown", "layout", "reading_order", "ocr", "table")
+
+
+def cmd_evaluate(args) -> None:
+    from .plans.report import write_evaluation_json
+
+    spark = _spark(args.cpus)
+    m = args.modality
+    if m == "markdown":
+        from .plans.pipeline import flagship_rollup
+
+        scored = spark.read.parquet(args.input)
+        roll = flagship_rollup(scored).collect()[0].asDict()
+    elif m == "layout":
+        from .plans.layout_eval import corpus_map, per_image_metrics
+
+        from pyspark.sql import functions as F
+
+        per = per_image_metrics(spark, args.from_documents)
+        roll = per.agg(
+            F.count("*").alias("total"),
+            F.round(F.avg("map"), 6).alias("mean_map"),
+            F.round(F.avg("mask_f1"), 6).alias("mean_mask_f1"),
+        ).collect()[0].asDict()
+        roll.update(corpus_map(spark, args.from_documents).collect()[0].asDict())
+    elif m == "reading_order":
+        from .plans.reading_order_eval import reading_order_rollup, reading_order_scores
+
+        roll = reading_order_rollup(
+            reading_order_scores(spark, args.from_documents)).collect()[0].asDict()
+    elif m == "ocr":
+        from .plans.ocr_eval import ocr_rollup, ocr_scores
+
+        roll = ocr_rollup(ocr_scores(spark, args.from_documents)).collect()[0].asDict()
+    elif m == "table":
+        from .plans.table_eval import teds_rollup, teds_scores
+
+        roll = teds_rollup(teds_scores(spark, args.from_documents)).collect()[0].asDict()
+    else:
+        raise SystemExit(f"unknown modality {m}")
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, f"evaluation_{args.benchmark}_{m}.json")
+    write_evaluation_json(roll, out, benchmark=args.benchmark, modality=m)
+    print(f"evaluate: {m} -> {out}")
+
+
+def cmd_visualize(args) -> None:
+    """Txt stats table (+ PNG histogram when matplotlib exists) from an
+    evaluation JSON (reference cli/main.py:575-768, stats.py:53-74)."""
+    with open(args.evaluation) as f:
+        doc = json.load(f)
+    os.makedirs(args.output_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.evaluation))[0]
+    lines = [f"{'metric':<28} value", "-" * 40]
+    numeric = {k: v for k, v in doc["evaluation"].items()
+               if isinstance(v, (int, float))}
+    for k, v in sorted(numeric.items()):
+        lines.append(f"{k:<28} {v}")
+    txt = os.path.join(args.output_dir, base + ".txt")
+    with open(txt, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    outs = [txt]
+    try:  # pragma: no cover - matplotlib absent in this environment
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.bar(range(len(numeric)), list(numeric.values()))
+        ax.set_xticks(range(len(numeric)), list(numeric), rotation=90)
+        png = os.path.join(args.output_dir, base + ".png")
+        fig.savefig(png, bbox_inches="tight")
+        plt.close(fig)
+        outs.append(png)
+    except ImportError:
+        pass
+    print("visualize: " + ", ".join(outs))
+
+
+def cmd_consolidate(args) -> None:
+    from .plans.report import consolidation_pivot, docs_table
+
+    spark = _spark(args.cpus)
+    piv = consolidation_pivot(docs_table(spark, args.from_documents))
+    rows = piv.collect()
+    cols = piv.columns
+    with open(args.output, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for r in rows:
+            f.write(",".join(str(r[c]) for c in cols) + "\n")
+    print(f"consolidate: {len(rows)} rows -> {args.output}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="docling-eval-spark")
+    ap.add_argument("--cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("create-gt")
+    g.add_argument("--from-documents", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--partitions", type=int, default=16)
+    g.set_defaults(fn=cmd_create_gt)
+
+    e = sub.add_parser("create-eval")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--lineage", default=None)
+    e.add_argument("--run-id", default=None)
+    e.add_argument("--partitions", type=int, default=16)
+    e.add_argument("--resume", action="store_true")
+    e.set_defaults(fn=cmd_create_eval)
+
+    v = sub.add_parser("evaluate")
+    v.add_argument("--input", default=None, help="scored rows (markdown modality)")
+    v.add_argument("--from-documents", default=None, help="documents dir (synthetic modalities)")
+    v.add_argument("--modality", required=True, choices=MODALITIES)
+    v.add_argument("--benchmark", default="synthetic")
+    v.add_argument("--output-dir", required=True)
+    v.set_defaults(fn=cmd_evaluate)
+
+    z = sub.add_parser("visualize")
+    z.add_argument("--evaluation", required=True)
+    z.add_argument("--output-dir", required=True)
+    z.set_defaults(fn=cmd_visualize)
+
+    c = sub.add_parser("consolidate")
+    c.add_argument("--from-documents", required=True)
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=cmd_consolidate)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
