@@ -547,6 +547,28 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated subquery (min supplycost per part) —
+    Catalyst decorrelates it into an aggregate + self-join."""
+    # (no partsupp table in the driver schema; lineitem is the fact side)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    min_price = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    return (
+        li.join(min_price, "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(part.where(F.col("p_size") <= 10)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.round(F.min("min_price"), 4).alias("min_price"),
+             F.min("l_suppkey").alias("best_suppkey"))
+        .orderBy("p_partkey")
+    )
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per-day per-type counts + sums (A9 analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -667,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
+        "min_cost_supplier": _q_min_cost_supplier,
         "events_daily": _q_events_daily,
         "event_sessions": _q_event_sessions,
         "event_json_props": _q_event_json_props,
@@ -955,6 +978,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name ORDER BY r_name"
+        ),
+        "min_cost_supplier": (
+            "SELECT p_partkey, p_brand, round(min(l_extendedprice), 4) AS min_price, "
+            "min(l_suppkey) AS best_suppkey "
+            "FROM lineitem l JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size <= 10 AND l_extendedprice = ("
+            "  SELECT min(l2.l_extendedprice) FROM lineitem l2 "
+            "  WHERE l2.l_partkey = l.l_partkey) "
+            "GROUP BY p_partkey, p_brand ORDER BY p_partkey"
         ),
         "events_daily": (
             "SELECT cast(ts AS date) AS day, event_type, count(*) AS n, "

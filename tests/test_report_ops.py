@@ -73,3 +73,17 @@ class TestReportOps:
         doc = json.loads(open(p).read())
         assert doc["evaluation"]["total"] == 500
         assert doc["modality"] == "markdown"
+
+
+class TestVisualizeSink:
+    def test_side_by_side_pages(self, spark, sf_dir, tmp_path):
+        from docling_eval_spark.plans.pipeline import flagship
+        from docling_eval_spark.plans.visualize import visualize_sample
+
+        scored = flagship(spark, sf_dir, n_partitions=4, full_metrics=False)
+        paths = visualize_sample(scored, str(tmp_path / "viz"), n=3)
+        assert len(paths) == 3
+        body = open(paths[0]).read()
+        assert "byte_identical: True" in body
+        assert "ground truth" in body and "extracted" in body
+        assert "<table>" in body  # span feature table rendered
