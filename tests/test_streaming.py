@@ -54,3 +54,47 @@ class TestStreamingIngest:
         rolled = windowed_throughput(pages, window="24 hours").collect()
         assert sum(r["n_docs"] for r in rolled) == 100
         assert all(r["total_bytes"] > 0 for r in rolled)
+
+
+class TestStatefulDedup:
+    """applyInPandasWithState near-dup detection: duplicates landing in
+    DIFFERENT micro-batches must still pair up (state persistence)."""
+
+    def test_cross_batch_pairs(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.streaming.stateful_dedup import (
+            streaming_near_dup_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text").where(F.col("doc_id") < 40)
+        # batch 1: originals; batch 2: exact copies with shifted ids
+        landing = str(tmp_path / "in")
+        docs.coalesce(1).write.mode("append").parquet(landing)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(landing)
+        )
+        pairs = streaming_near_dup_pairs(stream, threshold=0.99)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = (pairs.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000) \
+            .coalesce(1).write.mode("append").parquet(landing)
+        q = (pairs.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        got = (spark.read.parquet(out)
+               .dropDuplicates(["a", "b"])
+               .where(F.col("b") - F.col("a") == 1_000_000))
+        found = {r["a"] for r in got.collect()}
+        assert found == set(range(40)), sorted(found)[:10]
+        assert all(r["est_jaccard"] == 1.0 for r in got.collect())
