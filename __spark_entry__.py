@@ -905,8 +905,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM f GROUP BY lang ORDER BY lang"
         ),
         "token_counts": (
-            "SELECT lang, sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens, "
-            "round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_tokens "
+            "SELECT lang, sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens, "
+            "round(avg(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END), 6) AS avg_tokens "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "quality_scores": (

@@ -57,10 +57,15 @@ def cmd_create_eval(args) -> None:
         pages = resume_filter(pages, spark, args.output, key="url")
     scored = extract_and_score(pages, n_partitions=args.partitions)
     scored = scored.drop("spans", "tables")
+    if args.lineage:
+        # lineage must account for exactly THIS run's rows: persist the
+        # scored frame so the write and the lineage rollup share one
+        # computation instead of re-reading the cumulative output
+        scored = scored.persist()
     scored.write.mode("append").parquet(args.output)
     if args.lineage:
-        append_lineage(spark.read.parquet(args.output), args.run_id or "cli",
-                       args.lineage)
+        append_lineage(scored, args.run_id or "cli", args.lineage)
+        scored.unpersist()
     n = spark.read.parquet(args.output).count()
     print(f"create-eval: {n} scored rows committed to {args.output}")
 

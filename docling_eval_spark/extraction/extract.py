@@ -63,8 +63,20 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang[, doc_id]) -> extraction rows."""
-    cols = ["doc_id", "url", "lang", "text", "html"]
-    return pages.select(*[c for c in cols if c in pages.columns]).mapInPandas(
+    """pages(url, warc_ts, html, text, lang[, doc_id]) -> extraction rows.
+
+    Fails fast at plan time when a required column is absent (a KeyError
+    inside the executor UDF is much harder to diagnose); a missing doc_id
+    is synthesized as -1.
+    """
+    required = ["url", "lang", "text", "html"]
+    missing = [c for c in required if c not in pages.columns]
+    if missing:
+        raise ValueError(f"extract_pages: input is missing columns {missing}")
+    from pyspark.sql import functions as F
+
+    if "doc_id" not in pages.columns:
+        pages = pages.withColumn("doc_id", F.lit(-1).cast("bigint"))
+    return pages.select("doc_id", *required).mapInPandas(
         _extract_batches, schema=EXTRACT_SCHEMA
     )

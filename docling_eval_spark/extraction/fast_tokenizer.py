@@ -30,7 +30,7 @@ _TOKEN = re.compile(
     r"|<![^>]*>"
     r"|<\?[^>]*>"
     r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"
-    r"|<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/)?>"
+    r"|<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
     r"|[^<]+"
     r"|<",
     re.S,
@@ -85,9 +85,17 @@ def tokenize(html: str, sink) -> None:
             endt(m.group(1).lower())
         else:  # start or self-closing tag
             tag = m.group(2).lower()
-            attrs_s = m.group(3)
+            attrs_s = m.group(3) or ""
+            # HTMLParser self-closing semantics: a trailing "/" closes the
+            # tag only when it does NOT continue an unquoted attribute
+            # value ("<br/>", "<img src='x'/>", "<td />" close;
+            # "<a href=x/>" keeps "/" inside the value)
+            selfclose = attrs_s.endswith("/") and (
+                len(attrs_s) == 1 or attrs_s[-2] in " \t\n\r\"'")
+            if selfclose:
+                attrs_s = attrs_s[:-1]
             attrs = _parse_attrs(attrs_s) if attrs_s else []
-            if m.group(4):
+            if selfclose:
                 sink.handle_startendtag(tag, attrs)
             else:
                 start(tag, attrs)

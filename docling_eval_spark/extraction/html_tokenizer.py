@@ -185,7 +185,13 @@ class _BlockParser(HTMLParser):
 
     def _emit_table_tag(self, tag, attrs):
         if attrs:
-            attr_s = "".join(f' {k}="{v}"' for k, v in attrs if v is not None)
+            from html import escape
+
+            # attr values arrive entity-decoded; re-escape on the way out
+            # or quotes/ampersands in values corrupt the captured subtree
+            attr_s = "".join(
+                f' {k}="{escape(v, quote=True)}"'
+                for k, v in attrs if v is not None)
         else:
             attr_s = ""
         self._table_parts.append(f"<{tag}{attr_s}>")

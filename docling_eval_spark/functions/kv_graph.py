@@ -57,9 +57,13 @@ def chain_graph(n: Column) -> tuple[Column, Column]:
     (its only neighbor is the leaf), all other middles -> UNSPECIFIED.
     """
     cells = F.sequence(F.lit(0), n - 1)
-    links = F.transform(
+    chain = F.transform(
         F.sequence(F.lit(0), n - 2),
         lambda i: F.struct(i.cast("int").alias("src"),
                            (i + 1).cast("int").alias("tgt")),
     )
+    # F.sequence(0, n-2) DESCENDS for n <= 1 (sequence(0, -1) = [0, -1]);
+    # a 0- or 1-cell chain has no links
+    links = F.when(n >= 2, chain).otherwise(
+        F.array().cast("array<struct<src:int,tgt:int>>"))
     return cells, links

@@ -62,6 +62,15 @@ class TableNode:
         return 1 + sum(c.size() for c in self.children)
 
 
+def _span_attr(v) -> int:
+    """Malformed colspan/rowspan (model-generated HTML) degrades to 1
+    instead of killing the scoring task (browsers do the same)."""
+    try:
+        return max(1, int(v))
+    except (TypeError, ValueError):
+        return 1
+
+
 class _TableTreeParser(HTMLParser):
     """Builds a TableNode tree; 'th' is normalized to 'td' (both are cells).
 
@@ -85,8 +94,8 @@ class _TableTreeParser(HTMLParser):
             a = dict(attrs)
             node = TableNode(
                 "td",
-                colspan=int(a.get("colspan") or 1),
-                rowspan=int(a.get("rowspan") or 1),
+                colspan=_span_attr(a.get("colspan")),
+                rowspan=_span_attr(a.get("rowspan")),
             )
             self._attach(node)
             self._stack.append(node)

@@ -109,6 +109,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id
     return df.select(key, text_col).mapInPandas(gen, schema=f"{key} bigint, sig array<bigint>")
 
 
+def banded_signatures(sigs: DataFrame, key_cols: list[str],
+                      bands: int = 32, rows_per_band: int = 4) -> DataFrame:
+    """(key_cols..., band, bucket) — ONE definition of the LSH band keys,
+    shared by the batch self-join and the streaming stateful operator so
+    the two pipelines can never desynchronize their bucket assignment."""
+    return sigs.select(
+        *key_cols,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1,
+                                             rows_per_band))
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
                            bands: int = 32, rows_per_band: int = 4) -> DataFrame:
     """Banded LSH: equal band-slices -> candidate pairs (a < b).
@@ -120,15 +137,7 @@ def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
     pairs). The extra sub-threshold candidates this admits are discarded
     by the exact Jaccard verify, trading bounded extra compute for recall.
     """
-    banded = sigs.select(
-        key,
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signatures(sigs, [key], bands, rows_per_band)
     l = banded.alias("l")
     r = banded.alias("r")
     return (

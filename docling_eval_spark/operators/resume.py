@@ -51,8 +51,11 @@ def resume_filter(inputs: DataFrame, spark: SparkSession, output_path: str,
 
 def run_resumable(inputs: DataFrame, transform, spark: SparkSession,
                   output_path: str, key: str = "url") -> int:
-    """resume_filter -> transform -> append. Returns rows written this run."""
-    todo = resume_filter(inputs, spark, output_path, key)
+    """resume_filter -> transform -> append. Returns rows written THIS run
+    (committed-after minus committed-before)."""
+    done = committed_keys(spark, output_path, key)
+    before = done.count() if done is not None else 0
+    todo = inputs if done is None else inputs.join(done, on=key, how="left_anti")
     out = transform(todo)
     out.write.mode("append").parquet(output_path)
-    return spark.read.parquet(output_path).count()
+    return spark.read.parquet(output_path).count() - before

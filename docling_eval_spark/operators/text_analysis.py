@@ -25,8 +25,10 @@ LANG_MARKERS = {
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count — matches len(string_split_regex(trim(x),'\\s+'))."""
-    return F.size(F.split(F.trim(col), r"\s+"))
+    """Whitespace token count; blank/empty text counts 0 (split of ''
+    yields [''], which would otherwise count as one token)."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(col), r"\s+")))
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -55,8 +55,11 @@ def _score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if pred == true:
                 m = dict(_IDENTITY_SCORES)
                 # METEOR of identical token streams is 1 - gamma*(1/m)^beta,
-                # not exactly 1 (see functions/text_metrics.meteor_score)
-                n_tok = len(true.split())
+                # not exactly 1; m must use the SAME tokenizer as the slow
+                # path (word_tokenize: words + punctuation), or rollups jump
+                # discontinuously between identical and near-identical docs
+                from ..functions.text_metrics import word_tokenize
+                n_tok = len(word_tokenize(true))
                 m["meteor"] = 1.0 - 0.5 * (1.0 / n_tok) ** 3 if n_tok else 0.0
             else:
                 m = score_text_pair(pred, true)

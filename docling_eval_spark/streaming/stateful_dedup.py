@@ -98,19 +98,10 @@ def streaming_near_dup_pairs(docs: DataFrame, threshold: float = 0.8,
     Emitted pairs may repeat across bands; readers dedupe downstream
     (sink-side `dropDuplicates(["a","b"])` or idempotent upsert).
     """
-    from ..operators.dedup import minhash_signatures
+    from ..operators.dedup import banded_signatures, minhash_signatures
 
     sigs = minhash_signatures(docs, num_hashes=num_hashes)
-    banded = sigs.select(
-        "doc_id", "sig",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1,
-                                             rows_per_band))
-                for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signatures(sigs, ["doc_id", "sig"], bands, rows_per_band)
     return (
         banded.groupBy("band", "bucket")
         .applyInPandasWithState(

@@ -65,11 +65,14 @@ def main(argv: list[str] | None = None) -> None:
         scored = resume_filter(scored, spark, args.output, key=key)
 
     out_cols = [c for c in scored.columns if c not in ("spans", "tables")]
-    scored = scored.select(*out_cols)
+    scored = scored.select(*out_cols).persist()
     scored.write.mode("append").parquet(args.output)
+    # lineage rows describe THIS run's task partitions, not the cumulative
+    # table — the persist shares one computation between write and rollup
+    append_lineage(scored, run_id, args.lineage)
+    scored.unpersist()
 
     committed = spark.read.parquet(args.output)
-    append_lineage(committed, run_id, args.lineage)
     n = committed.count()
     ok = committed.where("byte_identical").count()
     print(f"extract-job run_id={run_id} committed={n} byte_identical={ok} "

@@ -224,3 +224,78 @@ class TestFastTokenizerParity:
             html = raw.decode("utf-8", errors="replace")
             r = extract_main_text(html)
             assert r == extract_main_text(html)
+
+
+class TestReviewRegressions:
+    """Regression pins for the round-1 code-review findings."""
+
+    def test_self_closing_tags_fast_engine(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        # <table/> must not swallow the document; <nav/> must not poison
+        # boiler_ancestor; parity with stdlib on every variant
+        cases = [
+            "<body><table/><p>hello world text</p></body>",
+            "<nav/><article><p>real content body text here</p></article>",
+            "<p>a<br/>b</p>",
+            '<p><img src="x"/>after image</p>',
+            "<td />",
+            "<a href=x/>unquoted-slash stays in value</a>",
+        ]
+        for h in cases:
+            fast = parse_blocks(h, "fast")
+            std = parse_blocks(h, "stdlib")
+            assert [(b.text, b.tag, b.boiler_ancestor, b.kind) for b in fast] \
+                == [(b.text, b.tag, b.boiler_ancestor, b.kind) for b in std], h
+        blocks = parse_blocks(cases[0], "fast")
+        assert any("hello world" in b.text for b in blocks)
+
+    def test_teds_malformed_span_attrs(self):
+        from docling_eval_spark.functions.teds import teds_score
+
+        gt = '<table><tr><td>a</td></tr></table>'
+        bad = '<table><tr><td colspan="zzz" rowspan="">a</td></tr></table>'
+        assert teds_score(gt, bad) == 1.0  # degrades to span=1, no crash
+
+    def test_table_attr_escaping_roundtrip(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        h = '<table><tr><td title="a&quot;b&amp;c">x</td></tr></table>'
+        t = [b for b in parse_blocks(h) if b.kind == "table"][0]
+        assert 'title="a&quot;b&amp;c"' in t.table_html
+        # captured html must reparse to the same cell
+        again = [b for b in parse_blocks(t.table_html) if b.kind == "table"][0]
+        assert again.table_html == t.table_html
+
+    def test_extract_pages_missing_column_fails_fast(self, spark, sf_dir):
+        import pytest
+        from docling_eval_spark.corpus.generator import pages_from_documents
+        from docling_eval_spark.extraction.extract import extract_pages
+
+        pages = pages_from_documents(spark, sf_dir).limit(5)
+        with pytest.raises(ValueError, match="missing columns"):
+            extract_pages(pages.drop("html"))
+        # doc_id optional: synthesized as -1
+        out = extract_pages(pages.drop("doc_id")).select("doc_id").collect()
+        assert all(r["doc_id"] == -1 for r in out)
+
+    def test_token_count_blank_is_zero(self, spark):
+        from pyspark.sql import functions as F
+        from docling_eval_spark.operators.text_analysis import token_count
+
+        df = spark.createDataFrame(
+            [("",), ("   ",), ("one two",)], "text string")
+        got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+        assert got == [0, 0, 2]
+
+    def test_chain_graph_single_cell(self, spark):
+        from pyspark.sql import functions as F
+        from docling_eval_spark.functions.kv_graph import chain_graph, classify_kv_cells
+
+        df = spark.range(1, 3).select(F.col("id").cast("int").alias("n"))
+        cells, links = chain_graph(F.col("n"))
+        out = {r["n"]: [c["label"] for c in r["lab"]]
+               for r in df.select("n", classify_kv_cells(cells, links)
+                                  .alias("lab")).collect()}
+        assert out[1] == ["VALUE"]          # no links: leaf
+        assert out[2] == ["KEY", "VALUE"]

@@ -108,14 +108,15 @@ class TestResume:
 
         n1 = run_resumable(first_half, transform, spark, out)
         assert n1 == 250
-        # restart with the FULL input: only the missing 250 must be processed
+        # restart with the FULL input: only the missing 250 are processed,
+        # and the return value is rows written THIS run
         todo = resume_filter(pages, spark, out)
         assert todo.count() == 250
         n2 = run_resumable(pages, transform, spark, out)
-        assert n2 == 500
+        assert n2 == 250
         # idempotent: a third run adds nothing
         n3 = run_resumable(pages, transform, spark, out)
-        assert n3 == 500
+        assert n3 == 0
         assert spark.read.parquet(out).select("url").distinct().count() == 500
 
 
