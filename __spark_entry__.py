@@ -213,6 +213,49 @@ def _q_markdown_export_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.encode("markdown", "utf-8")).alias("md_md5"))
 
 
+def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doctags round-trip (F19): serialize the layout corpus to the
+    doctags token format, parse it back, emit one row per span; the oracle
+    reconstructs every field from the closed-form layout geometry."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.corpus.layout_synth import gt_page
+    from docling_eval_spark.functions.doctags import (
+        DocTagSpan,
+        parse_doctags,
+        to_doctags,
+    )
+    from docling_eval_spark.plans.bbox_text_eval import box_text
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                boxes, labels = gt_page(d)
+                spans = [
+                    DocTagSpan(str(labels[k]), int(boxes[k][0]), int(boxes[k][1]),
+                               int(boxes[k][2]), int(boxes[k][3]), box_text(d, k))
+                    for k in range(len(boxes))
+                ]
+                for idx, sp in enumerate(parse_doctags(to_doctags(spans))):
+                    rows.append((d, idx, sp.label, sp.l, sp.t, sp.r, sp.b, sp.text))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "idx", "label", "l", "t", "r", "b", "text"])
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, idx int, label string, l int, t int, "
+                    "r int, b int, text string"
+    ).orderBy("doc_id", "idx")
+
+
 def _q_ocr_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CER / char accuracy over deterministic degradations (F12)."""
     from docling_eval_spark.plans.ocr_eval import ocr_scores
@@ -666,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order_ard": _q_reading_order_ard,
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
+        "doctags_parse": _q_doctags_parse,
         "ocr_cer": _q_ocr_cer,
         "doc_stats": _q_doc_stats,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -778,6 +822,15 @@ def oracle_sql() -> dict[str, str]:
             "    k -> 'block ' || (doc_id % 97) || ' ' || k || ' content words'), "
             "  chr(10) || chr(10))"
             ") AS md_md5 FROM d"
+        ),
+        "doctags_parse": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents) "
+            "SELECT doc_id, cast(k AS int) AS idx, "
+            "CASE WHEN k = 0 THEN 'title' ELSE 'text' END AS label, "
+            "10 AS l, cast(2 + 10*k AS int) AS t, 30 AS r, "
+            "cast(10 + 10*k AS int) AS b, "
+            "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
+            "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
         ),
         "ocr_cer": (
             "SELECT doc_id, cast(doc_id % 3 AS int) AS mode, "

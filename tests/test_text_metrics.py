@@ -140,3 +140,40 @@ class TestMarkdownExport:
 
         assert spans_to_markdown([]) == ""
         assert spans_to_markdown([("page_header", "x")]) == ""
+
+
+class TestDoctags:
+    """F19 doctags parse/serialize round-trip + real-sample tolerance."""
+
+    def test_round_trip(self):
+        from docling_eval_spark.functions.doctags import (
+            DocTagSpan,
+            parse_doctags,
+            to_doctags,
+        )
+
+        spans = [
+            DocTagSpan("title", 10, 2, 30, 10, "Heading"),
+            DocTagSpan("text", 10, 12, 30, 20, "multi word body, punct."),
+            DocTagSpan("page_footer", 0, 480, 50, 490, "82"),
+        ]
+        assert parse_doctags(to_doctags(spans)) == spans
+
+    def test_reference_sample_shape(self):
+        from docling_eval_spark.functions.doctags import parse_doctags
+
+        sample = (
+            " <doctag><page_footer><loc_23><loc_483><loc_32><loc_488>82"
+            "</page_footer>\n<text><loc_35><loc_107><loc_442><loc_132>"
+            "Some body text</text>\n</doctag>"
+        )
+        spans = parse_doctags(sample)
+        assert [s.label for s in spans] == ["page_footer", "text"]
+        assert spans[0].l == 23 and spans[1].b == 132
+
+    def test_malformed_skipped(self):
+        from docling_eval_spark.functions.doctags import parse_doctags
+
+        s = "<text><loc_1><loc_2>missing locs</text><text><loc_1><loc_2><loc_3><loc_4>ok</text>"
+        spans = parse_doctags(s)
+        assert len(spans) == 1 and spans[0].text == "ok"
