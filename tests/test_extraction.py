@@ -299,3 +299,45 @@ class TestReviewRegressions:
                                   .alias("lab")).collect()}
         assert out[1] == ["VALUE"]          # no links: leaf
         assert out[2] == ["KEY", "VALUE"]
+
+
+class TestUnicodeDeterminism:
+    """North-rule hard part: byte-identical extraction must not normalize,
+    transcode, or otherwise perturb unicode (SURVEY.md §7 hard part 2).
+    NFC and NFD spellings of the same text are DIFFERENT byte sequences
+    and must both round-trip untouched."""
+
+    CASES = [
+        "café precomposed",          # NFC e-acute
+        "café decomposed",          # NFD e + combining acute
+        "中文段落 with CJK",
+        "Ελληνικά greek",
+        "emoji \U0001f600\U0001f9e0 mixed",
+        "rtl مرحبا text",
+        "zero​width and nbsp joined",
+    ]
+
+    @pytest.mark.parametrize("text", CASES)
+    def test_exact_bytes_both_engines(self, text):
+        from docling_eval_spark.extraction.boilerplate import extract_main_text
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        html = f"<article><p>{text}</p></article>"
+        r = extract_main_text(html)
+        assert r["text"] == text
+        assert r["text"].encode("utf-8") == text.encode("utf-8")
+        fast = [b.text for b in parse_blocks(html, "fast")]
+        std = [b.text for b in parse_blocks(html, "stdlib")]
+        assert fast == std == [text]
+
+    def test_nfc_nfd_distinct(self):
+        import unicodedata
+
+        from docling_eval_spark.extraction.boilerplate import extract_main_text
+
+        nfc = unicodedata.normalize("NFC", "café")
+        nfd = unicodedata.normalize("NFD", "café")
+        assert nfc != nfd
+        a = extract_main_text(f"<article><p>{nfc}</p></article>")["text"]
+        b = extract_main_text(f"<article><p>{nfd}</p></article>")["text"]
+        assert a == nfc and b == nfd and a != b
