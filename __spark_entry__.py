@@ -84,7 +84,6 @@ def _q_pdf_extract_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -846,7 +845,7 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(n_chars), 6) AS std FROM documents"
         ),
         "doc_len_histogram": (
-            "SELECT cast(floor(n_chars / 600.0 * 20) AS int) AS bucket, "
+            "SELECT least(cast(floor(n_chars / 600.0 * 20) AS int), 19) AS bucket, "
             "count(*) AS n FROM documents "
             "WHERE n_chars >= 0 AND n_chars <= 600 GROUP BY 1 ORDER BY 1"
         ),
@@ -1069,7 +1068,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM part) WHERE rk <= 3 ORDER BY p_brand, rk"
         ),
         "cumulative_histogram": (
-            "WITH h AS (SELECT cast(floor(n_chars / 600.0 * 20) AS int) AS bucket, "
+            "WITH h AS (SELECT least(cast(floor(n_chars / 600.0 * 20) AS int), 19) AS bucket, "
             "count(*) AS n FROM documents GROUP BY 1) "
             "SELECT bucket, n, sum(n) OVER (ORDER BY bucket "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n "

@@ -45,7 +45,8 @@ def _synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          n_partitions: int | None = None,
                          replicate: int = 1,
-                         pages_stage: bool = True) -> DataFrame:
+                         pages_stage: bool = True,
+                         exclude: DataFrame | None = None) -> DataFrame:
     """Deterministic pages table from the driver's documents parquet.
 
     Column pruning matters: only (doc_id, text, lang) are read from parquet
@@ -59,6 +60,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    if exclude is not None:
+        # resume pushdown: drop already-committed doc_ids BEFORE synthesis
+        # so a restarted job skips the Python work, not just the write
+        docs = docs.join(exclude.select("doc_id"), on="doc_id", how="left_anti")
     # Order matters for scaling: the source is one small parquet split, so
     # repartition the LIGHT rows first (single cheap shuffle), THEN explode
     # replicas inside each partition — amplification runs in parallel and

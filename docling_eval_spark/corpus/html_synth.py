@@ -143,14 +143,25 @@ def synth_html(doc_id: int, text: str, lang: str) -> bytes:
     for i, para in enumerate(paragraphs):
         if i == table_pos:
             parts.append(gt_table_html(doc_id))
-        body = escape(para, quote=False)
-        # seeded inline formatting on a long paragraph: wrap one word
+        # seeded inline formatting on a long paragraph: wrap one word.
+        # The wrap slices the RAW text at a word boundary and escapes the
+        # three segments independently — substring-replacing inside the
+        # already-escaped body could split an entity (e.g. target "amp"
+        # inside "&amp;") and break the byte-identical contract.
+        body = None
         wtoks = para.split()
         if len(wtoks) > 8 and rng.random() < 0.5:
+            import re as _re
+
             target = wtoks[rng.randrange(2, len(wtoks) - 2)]
-            esc_t = escape(target, quote=False)
             tag = rng.choice(("b", "i", "em"))
-            body = body.replace(esc_t, f"<{tag}>{esc_t}</{tag}>", 1)
+            m = _re.search(rf"(?<!\S){_re.escape(target)}(?!\S)", para)
+            if m:
+                body = (escape(para[:m.start()], quote=False)
+                        + f"<{tag}>{escape(target, quote=False)}</{tag}>"
+                        + escape(para[m.end():], quote=False))
+        if body is None:
+            body = escape(para, quote=False)
         parts.append(f"<p>{body}</p>")
     if table_pos == len(paragraphs):
         parts.append(gt_table_html(doc_id))

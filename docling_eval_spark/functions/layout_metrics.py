@@ -137,8 +137,11 @@ def average_precision(scores: np.ndarray, tp: np.ndarray, n_gt: int) -> float:
     precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-12)
     # precision envelope (monotone non-increasing from the right)
     precision = np.maximum.accumulate(precision[::-1])[::-1]
-    # 101-point interpolation
-    recall_points = np.linspace(0.0, 1.0, 101)
+    # 101-point interpolation; points must be EXACTLY i/100 (linspace
+    # accumulates ulp error upward on 10 of the 101 points, wrongly
+    # excluding recalls that land exactly on them and understating AP by
+    # 1/101 — diverges from the closed-form floor(100*R)+1 oracle)
+    recall_points = np.arange(101) / 100.0
     idx = np.searchsorted(recall, recall_points, side="left")
     interp = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
     return float(interp.mean())

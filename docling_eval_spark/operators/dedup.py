@@ -151,8 +151,13 @@ def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
 def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
                          text_col: str = "text", key: str = "doc_id",
                          shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs (array ops, JVM-side)."""
-    toks = F.split(F.col(text_col), r"\s+")
+    """Exact n-gram Jaccard on candidate pairs (array ops, JVM-side).
+
+    Tokenization is trim + split on \s+ — identical to both the minhash
+    signature tokenizer (Python str.split) and the SQL oracle
+    (string_split_regex(trim(x))); without the trim, leading/trailing
+    whitespace manufactures empty tokens and phantom grams."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(F.size(toks) < shingle_n, F.array(F.col(text_col))).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - shingle_n),

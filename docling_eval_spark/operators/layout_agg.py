@@ -50,7 +50,7 @@ def _ap_from_bins(pdf: pd.DataFrame) -> pd.DataFrame:
     recall = cum_tp / n_gt
     precision = cum_tp / np.maximum(cum_det, 1e-12)
     precision = np.maximum.accumulate(precision[::-1])[::-1]
-    recall_points = np.linspace(0.0, 1.0, 101)
+    recall_points = np.arange(101) / 100.0  # exact i/100 (see layout_metrics)
     idx = np.searchsorted(recall, recall_points, side="left")
     interp = np.where(idx < len(precision),
                       precision[np.minimum(idx, len(precision) - 1)], 0.0)

@@ -93,7 +93,6 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        rows = []
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[key], pdf[payload_col]):

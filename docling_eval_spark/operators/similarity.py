@@ -49,14 +49,23 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+                _cosine(F.col("qv"), F.col("cv")).alias("_c"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return _topk_rounded(scored, k)
+
+
+def _topk_rounded(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k on the UNROUNDED cosine (matching SQL oracles that rank raw
+    and round only the projection); rounding before ranking can flip the
+    rank-k boundary when raw gaps are below the rounding quantum."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .drop("rk")
-        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+        .select("query_id", "neighbor_id", F.round("_c", 4).alias("cosine"),
+                "_c")
+        .orderBy("query_id", F.desc("_c"), "neighbor_id")
+        .drop("_c")
     )
 
 
@@ -100,15 +109,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+                _cosine(F.col("qv"), F.col("cv")).alias("_c"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .drop("rk")
-        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
-    )
+    return _topk_rounded(scored, k)
 
 
 def with_scaled_copies(corpus: DataFrame, id_col: str = "vec_id",
@@ -229,13 +232,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
         c_assigned.join(F.broadcast(q_probes), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+                _cosine(F.col("qv"), F.col("cv")).alias("_c"))
         .distinct()  # a neighbor can appear via several probed buckets
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .drop("rk")
-        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
-    )
+    return _topk_rounded(scored, k)

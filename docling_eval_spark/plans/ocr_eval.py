@@ -25,6 +25,8 @@ OCR_SCHEMA = "doc_id bigint, mode int, cer double, char_accuracy double"
 
 
 def degrade(text: str, mode: int) -> str:
+    if not text:
+        return text  # empty truth stays empty: cer 0 (oracle contract)
     if mode == 1:
         return text[1:]
     if mode == 2:

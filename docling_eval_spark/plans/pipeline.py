@@ -51,16 +51,19 @@ def _score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     for pdf in it:
         rows = []
+        from ..functions.text_metrics import word_tokenize
+
         for pred, true in zip(pdf["extracted_text"], pdf["text"]):
-            if pred == true:
+            n_tok = len(word_tokenize(true)) if pred == true else 0
+            # fast path only for non-degenerate identical pairs: with < 4
+            # tokens the slow path's unsmoothed BLEU (and empty-token F1)
+            # return 0.0, so shortcutting to 1.0 would make rollups differ
+            # between identical and near-identical degenerate docs
+            if pred == true and n_tok >= 4:
                 m = dict(_IDENTITY_SCORES)
                 # METEOR of identical token streams is 1 - gamma*(1/m)^beta,
-                # not exactly 1; m must use the SAME tokenizer as the slow
-                # path (word_tokenize: words + punctuation), or rollups jump
-                # discontinuously between identical and near-identical docs
-                from ..functions.text_metrics import word_tokenize
-                n_tok = len(word_tokenize(true))
-                m["meteor"] = 1.0 - 0.5 * (1.0 / n_tok) ** 3 if n_tok else 0.0
+                # not exactly 1 (same tokenizer as the slow path)
+                m["meteor"] = 1.0 - 0.5 * (1.0 / n_tok) ** 3
             else:
                 m = score_text_pair(pred, true)
                 m["char_accuracy"] = 1.0 - min(1.0, cer(pred, true))
@@ -132,7 +135,8 @@ def _fused_batches(full_metrics: bool):
 
 
 def flagship(spark: SparkSession, sf_dir: str, n_partitions: int = 32,
-             full_metrics: bool = True, replicate: int = 1) -> DataFrame:
+             full_metrics: bool = True, replicate: int = 1,
+             exclude: DataFrame | None = None) -> DataFrame:
     """documents parquet -> pages -> extract -> score. The entry() query.
 
     Shuffle placement: the salted repartition runs on the LIGHTWEIGHT
@@ -147,7 +151,8 @@ def flagship(spark: SparkSession, sf_dir: str, n_partitions: int = 32,
     from ..extraction.extract import EXTRACT_SCHEMA
 
     docs = pages_from_documents(spark, sf_dir, n_partitions=n_partitions,
-                                replicate=replicate, pages_stage=False)
+                                replicate=replicate, pages_stage=False,
+                                exclude=exclude)
     schema = EXTRACT_SCHEMA + (f", {_SCORE_SCHEMA}" if full_metrics else "")
     fused = docs.mapInPandas(_fused_batches(full_metrics), schema=schema)
     return fused.withColumn(

@@ -49,7 +49,13 @@ def main(argv: list[str] | None = None) -> None:
     run_id = args.run_id or f"run-{int(time.time())}"
 
     if args.synth_from:
-        scored = flagship(spark, args.synth_from, n_partitions=n_parts)
+        exclude = None
+        if args.checkpoint_resume:
+            from docling_eval_spark.operators.resume import committed_keys
+
+            exclude = committed_keys(spark, args.output, key="doc_id")
+        scored = flagship(spark, args.synth_from, n_partitions=n_parts,
+                          exclude=exclude)
         key = "doc_id"
     elif args.input:
         pages = spark.read.parquet(args.input)
@@ -60,9 +66,6 @@ def main(argv: list[str] | None = None) -> None:
     else:
         ap.error("one of --input / --synth-from is required")
         return
-
-    if args.synth_from and args.checkpoint_resume:
-        scored = resume_filter(scored, spark, args.output, key=key)
 
     out_cols = [c for c in scored.columns if c not in ("spans", "tables")]
     scored = scored.select(*out_cols).persist()
