@@ -611,6 +611,60 @@ def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS semi-join — orders with a
+    lineitem shipped > 60 days after the order date, per priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+            "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (customers
+    by order count, including zero-order customers)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate subquery membership (orders whose total
+    quantity exceeds a threshold)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", F.round("total_qty", 4).alias("total_qty"),
+                F.round("o_totalprice", 4).alias("o_totalprice"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per-day per-type counts + sums (A9 analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -733,6 +787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
         "min_cost_supplier": _q_min_cost_supplier,
+        "late_orders": _q_late_orders,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "large_orders": _q_large_orders,
         "events_daily": _q_events_daily,
         "event_sessions": _q_event_sessions,
         "event_json_props": _q_event_json_props,
@@ -1039,6 +1096,27 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT min(l2.l_extendedprice) FROM lineitem l2 "
             "  WHERE l2.l_partkey = l.l_partkey) "
             "GROUP BY p_partkey, p_brand ORDER BY p_partkey"
+        ),
+        "late_orders": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "customer_order_distribution": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "  SELECT c_custkey, count(o_orderkey) AS c_count "
+            "  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "  GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "large_orders": (
+            "SELECT o_orderkey, round(total_qty, 4) AS total_qty, "
+            "round(o_totalprice, 4) AS o_totalprice "
+            "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+            "ON o_orderkey = l_orderkey "
+            "ORDER BY total_qty DESC, o_orderkey LIMIT 20"
         ),
         "events_daily": (
             "SELECT cast(ts AS date) AS day, event_type, count(*) AS n, "

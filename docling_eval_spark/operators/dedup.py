@@ -156,7 +156,18 @@ def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
     Tokenization is trim + split on \s+ — identical to both the minhash
     signature tokenizer (Python str.split) and the SQL oracle
     (string_split_regex(trim(x))); without the trim, leading/trailing
-    whitespace manufactures empty tokens and phantom grams."""
+    whitespace manufactures empty tokens and phantom grams.
+
+    Scale note: gram arrays are built only for docs that actually appear
+    in a candidate pair (semi-join first) — at corpus scale the candidate
+    set covers a small fraction of documents, so the expensive shingle
+    materialization never runs over the full table."""
+    member = (
+        candidates.select(F.col("a").alias(key))
+        .unionByName(candidates.select(F.col("b").alias(key)))
+        .distinct()
+    )
+    df = df.join(member, on=key, how="left_semi")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(F.size(toks) < shingle_n, F.array(F.col(text_col))).otherwise(
         F.transform(
