@@ -192,9 +192,15 @@ def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", key: str = "doc_id",
                         threshold: float = 0.8) -> DataFrame:
-    """Full near-dup pipeline: minhash -> LSH candidates -> exact verify."""
+    """Full near-dup pipeline: minhash -> LSH candidates -> exact verify.
+
+    The candidate-pair set is persisted: the verify stage consumes it
+    three times (member semi-join + both sides of the gram join), and
+    without the cache each consumer would recompute the whole
+    signature+banding subtree. The cached data is only the (a, b) id
+    pairs — tiny relative to the corpus."""
     sigs = minhash_signatures(df, text_col, key)
-    cands = minhash_lsh_candidates(sigs, key)
+    cands = minhash_lsh_candidates(sigs, key).persist()
     return ngram_jaccard_verify(df, cands, text_col, key, threshold=threshold)
 
 
