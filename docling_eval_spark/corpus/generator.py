@@ -61,6 +61,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         "doc_id", "text", "lang"
     )
     if exclude is not None:
+        if replicate > 1:
+            # committed ids live in the POST-replication id space; an
+            # anti-join against source ids would both duplicate committed
+            # rows and drop uncommitted ones — fail fast instead
+            raise ValueError("exclude is not supported with replicate > 1")
         # resume pushdown: drop already-committed doc_ids BEFORE synthesis
         # so a restarted job skips the Python work, not just the write
         docs = docs.join(exclude.select("doc_id"), on="doc_id", how="left_anti")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import random
+import re as _re
 from html import escape
 
 N_HOSTS = 1000
@@ -114,12 +115,13 @@ def synth_html(doc_id: int, text: str, lang: str) -> bytes:
     paragraphs = text.split("\n\n")
     min_words = min(len(p.split()) for p in paragraphs) if paragraphs else 0
     use_article = min_words <= 40 or rng.random() < 0.5
+    host = host_for(doc_id)
 
     title_words = rng.sample(_WORDS, 3)
     parts = [
         "<!DOCTYPE html>",
         f'<html lang="{lang}"><head>',
-        f"<title>{' '.join(title_words)} | host{host_for(doc_id):04d}</title>",
+        f"<title>{' '.join(title_words)} | host{host:04d}</title>",
         '<meta charset="utf-8"><meta name="viewport" content="width=device-width">',
         "<script>var _q=[];window.track=function(e){_q.push(e)};</script>",
         "<style>.nav{display:flex}.ad{color:#888}</style>",
@@ -151,8 +153,6 @@ def synth_html(doc_id: int, text: str, lang: str) -> bytes:
         body = None
         wtoks = para.split()
         if len(wtoks) > 8 and rng.random() < 0.5:
-            import re as _re
-
             target = wtoks[rng.randrange(2, len(wtoks) - 2)]
             tag = rng.choice(("b", "i", "em"))
             m = _re.search(rf"(?<!\S){_re.escape(target)}(?!\S)", para)
@@ -171,7 +171,7 @@ def synth_html(doc_id: int, text: str, lang: str) -> bytes:
     for w in rng.sample(_WORDS, 5):
         parts.append(f'<li><a href="/{w}/{rng.randrange(999)}">More about {w}</a></li>')
     parts.append("</ul></div>")
-    parts.append(f'<footer><p>© 2025 host{host_for(doc_id):04d}.example — '
+    parts.append(f'<footer><p>© 2025 host{host:04d}.example — '
                  f'<a href="/imprint">Imprint</a> <a href="/privacy">Privacy</a></p></footer>')
     parts.append("</body></html>")
     return "\n".join(parts).encode("utf-8")

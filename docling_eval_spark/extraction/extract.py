@@ -52,7 +52,10 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "spans": [],
         }
         for html in pdf["html"]:
-            r = extract_main_text(bytes(html).decode("utf-8", errors="replace"))
+            # a null page (bad upstream row) degrades to empty extraction
+            # instead of TypeError-killing the executor task
+            raw = b"" if html is None else bytes(html)
+            r = extract_main_text(raw.decode("utf-8", errors="replace"))
             out["extracted_text"].append(r["text"])
             out["n_blocks"].append(r["n_blocks"])
             out["n_content"].append(r["n_content"])

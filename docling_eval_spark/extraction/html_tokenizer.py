@@ -31,6 +31,7 @@ script/style/noscript/svg/head content is dropped entirely.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from html import escape
 from html.parser import HTMLParser
 
 BLOCK_TAGS = {
@@ -80,6 +81,8 @@ class _BlockParser(HTMLParser):
         self._parts: list[str] = []
         self._anchor_chars = 0
         self._cur_tag = "body"
+        self._block_stack: list[str] = []
+        self._leaf_open = False
         self._skip_depth = 0
         self._anchor_depth = 0
         self._boiler_depth = 0
@@ -89,13 +92,17 @@ class _BlockParser(HTMLParser):
         self._table_parts: list[str] = []
 
     # -- block buffer ------------------------------------------------
-    def _flush(self) -> None:
-        if not self._parts:
+    def _flush(self, allow_empty: bool = False) -> None:
+        if not self._parts and not allow_empty:
             self._anchor_chars = 0
             return
         text = "".join(self._parts)
         self._parts = []
-        if not text.strip():
+        if not text.strip() and not allow_empty:
+            # whitespace between tags is not a block; whitespace INSIDE an
+            # explicitly opened leaf block (an empty <p></p> paragraph) IS
+            # one — dropping it would break the byte-identical contract
+            # for texts with blank paragraphs
             self._anchor_chars = 0
             return
         self.blocks.append(Block(
@@ -110,24 +117,32 @@ class _BlockParser(HTMLParser):
 
     # -- tag events ----------------------------------------------------
     def handle_starttag(self, tag, attrs):
+        if self._skip_depth > 0:
+            # everything inside script/style/noscript/svg/head/... is
+            # dropped wholesale, including nested <table> subtrees
+            if tag in SKIP_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
         if self._table_depth > 0:
             if tag == "table":
                 self._table_depth += 1
             self._emit_table_tag(tag, attrs)
             return
-        if tag in SKIP_TAGS:
-            self._skip_depth += 1
-            return
         if tag == "table":
-            self._flush()
+            self._flush(allow_empty=self._leaf_open)
+            self._leaf_open = False
             self._table_depth = 1
             self._table_parts = []
             self._emit_table_tag(tag, attrs)
             return
         if tag in BLOCK_TAGS:
-            self._flush()
-            if tag in LEAF_BLOCK_TAGS or tag in BLOCK_TAGS:
-                self._cur_tag = tag
+            self._flush(allow_empty=self._leaf_open)
+            self._block_stack.append(tag)
+            self._cur_tag = tag
+            self._leaf_open = tag in LEAF_BLOCK_TAGS
             if tag in BOILER_ANCESTOR_TAGS:
                 self._boiler_depth += 1
             if tag in CONTENT_ANCESTOR_TAGS:
@@ -138,6 +153,10 @@ class _BlockParser(HTMLParser):
             self._parts.append("\n")
 
     def handle_endtag(self, tag):
+        if self._skip_depth > 0:
+            if tag in SKIP_TAGS:
+                self._skip_depth -= 1
+            return
         if self._table_depth > 0:
             self._table_parts.append(f"</{tag}>")
             if tag == "table":
@@ -152,12 +171,15 @@ class _BlockParser(HTMLParser):
                     ))
                     self._table_parts = []
             return
-        if tag in SKIP_TAGS:
-            self._skip_depth = max(0, self._skip_depth - 1)
-            return
         if tag in BLOCK_TAGS:
-            self._flush()
-            self._cur_tag = "body"
+            self._flush(allow_empty=self._leaf_open and tag in LEAF_BLOCK_TAGS)
+            self._leaf_open = False
+            if self._block_stack:
+                self._block_stack.pop()
+            # restore the ENCLOSING block tag (not 'body'): text after a
+            # nested block keeps its real provenance, and a heading's tail
+            # after a nested element stays a heading
+            self._cur_tag = self._block_stack[-1] if self._block_stack else "body"
             if tag in BOILER_ANCESTOR_TAGS:
                 self._boiler_depth = max(0, self._boiler_depth - 1)
             if tag in CONTENT_ANCESTOR_TAGS:
@@ -166,8 +188,14 @@ class _BlockParser(HTMLParser):
             self._anchor_depth = max(0, self._anchor_depth - 1)
 
     def handle_startendtag(self, tag, attrs):
+        if self._skip_depth > 0:
+            return
         if self._table_depth > 0:
+            # XHTML-style <td/> is an EMPTY element: serialize open+close
+            # (emitting only the open tag would nest the next cell inside)
             self._emit_table_tag(tag, attrs)
+            if tag not in VOID_TAGS:
+                self._table_parts.append(f"</{tag}>")
             return
         if tag == "br":
             self._parts.append("\n")
@@ -176,7 +204,6 @@ class _BlockParser(HTMLParser):
         if self._skip_depth > 0:
             return
         if self._table_depth > 0:
-            from html import escape
             self._table_parts.append(escape(data, quote=False))
             return
         self._parts.append(data)
@@ -185,20 +212,19 @@ class _BlockParser(HTMLParser):
 
     def _emit_table_tag(self, tag, attrs):
         if attrs:
-            from html import escape
-
-            # attr values arrive entity-decoded; re-escape on the way out
-            # or quotes/ampersands in values corrupt the captured subtree
+            # values arrive entity-decoded; re-escape on the way out or
+            # quotes/ampersands corrupt the captured subtree. Valueless
+            # (boolean) attributes are kept as bare names.
             attr_s = "".join(
-                f' {k}="{escape(v, quote=True)}"'
-                for k, v in attrs if v is not None)
+                f' {k}="{escape(v, quote=True)}"' if v is not None else f" {k}"
+                for k, v in attrs)
         else:
             attr_s = ""
         self._table_parts.append(f"<{tag}{attr_s}>")
 
     def close(self):
         super().close()
-        self._flush()
+        self._flush(allow_empty=self._leaf_open)
 
 
 def parse_blocks(html: str, engine: str = "fast") -> list[Block]:

@@ -18,8 +18,11 @@ from, which only holds if both the ordering and the joint reconstruction
 are correct — a closed-form gate on the whole PDF path.
 
 Format SPN1 (integers big-endian):
-    b"SPN1" | u16 n_spans | n_spans * ( u16 x | u16 y | u16 w | u16 h |
+    b"SPN1" | u32 n_spans | n_spans * ( u16 x | u16 y | u16 w | u16 h |
                                         u16 len | len bytes utf-8 text )
+Coordinates are u16; documents longer than one column's 65k-unit height
+wrap into additional columns (up to 16, ~86k lines / ~500k words per doc),
+beyond which build raises.
 
 Layout convention (what a justified 1-2 column page gives a parser):
     - lines fill 1 or 2 columns (col base x = 20 / 460), top to bottom;
@@ -52,6 +55,17 @@ def build_pdf_blob(doc_id: int, text: str) -> bytes:
         for i in range(0, len(words), 6):
             lines.append((i == 0, " ".join(words[i:i + 6])))
     n_cols = 1 + (doc_id % 2)
+    # u16 coordinate budget: keep y < 65000 by adding columns as needed.
+    # Columns are capped at 16: beyond ~18 columns the page gets wide
+    # enough that the reading-order band tolerance (0.05 * page width)
+    # exceeds the column span and geometric recovery is no longer
+    # guaranteed — fail fast instead of producing an unreadable layout.
+    max_rows = (65000 - 10) // LINE_H
+    n_cols = max(n_cols, -(-len(lines) // max_rows))
+    if n_cols > 16:
+        raise ValueError(
+            f"document too large for SPN1 layout ({len(lines)} lines; "
+            f"max {16 * max_rows})")
     per_col = -(-len(lines) // n_cols)  # ceil
     spans: list[tuple[int, int, int, int, str]] = []
     for k, (initial, chunk) in enumerate(lines):
@@ -61,7 +75,7 @@ def build_pdf_blob(doc_id: int, text: str) -> bytes:
         spans.append((x, y, COL_W, LINE_H - 2, chunk))
     rng = np.random.RandomState(doc_id % (2**31) or 7)
     order = rng.permutation(len(spans))
-    out = [b"SPN1", struct.pack(">H", len(spans))]
+    out = [b"SPN1", struct.pack(">I", len(spans))]
     for idx in order:
         x, y, w, h, t = spans[idx]
         tb = t.encode("utf-8")
@@ -74,8 +88,8 @@ def parse_pdf_blob(blob: bytes) -> list[tuple[int, int, int, int, str]]:
     """SPN1 -> [(x, y, w, h, text)] in STREAM order (scrambled)."""
     if bytes(blob[:4]) != b"SPN1":
         raise ValueError("not an SPN1 blob")
-    (n,) = struct.unpack(">H", bytes(blob[4:6]))
-    off = 6
+    (n,) = struct.unpack(">I", bytes(blob[4:8]))
+    off = 8
     spans = []
     blob = bytes(blob)
     for _ in range(n):

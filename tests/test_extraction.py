@@ -341,3 +341,98 @@ class TestUnicodeDeterminism:
         a = extract_main_text(f"<article><p>{nfc}</p></article>")["text"]
         b = extract_main_text(f"<article><p>{nfd}</p></article>")["text"]
         assert a == nfc and b == nfd and a != b
+
+
+class TestReviewRegressions3:
+    """Pins for the third (extraction/corpus-focused) review round."""
+
+    @pytest.mark.parametrize("text", [
+        "a\n\n\n\nb",            # consecutive blank lines -> empty paragraph
+        "p1\n\n \n\np2",         # whitespace-only paragraph
+        "\n\nleading blank",
+        "trailing blank\n\n",
+    ])
+    def test_blank_paragraph_byte_identity(self, text):
+        from docling_eval_spark.corpus.html_synth import synth_html
+        from docling_eval_spark.extraction.boilerplate import extract_main_text
+
+        for doc_id in (1, 2, 7):
+            html = synth_html(doc_id, text, "en").decode()
+            assert extract_main_text(html)["text"] == text, (doc_id, text)
+
+    def test_pdf_blank_paragraph_byte_identity(self):
+        from docling_eval_spark.extraction.pdf_spans import (
+            build_pdf_blob,
+            parse_pdf_blob,
+            spans_to_text,
+        )
+
+        for text in ("a\n\n\n\nb", "p1\n\n \n\np2"):
+            for d in (0, 1):
+                assert spans_to_text(parse_pdf_blob(build_pdf_blob(d, text))) == text
+
+    def test_pdf_large_document_wraps_columns(self):
+        from docling_eval_spark.extraction.pdf_spans import (
+            build_pdf_blob,
+            parse_pdf_blob,
+            spans_to_text,
+        )
+
+        big = "\n\n".join("para with quite a few words here number %d ok fine" % i
+                          for i in range(4000))
+        blob = build_pdf_blob(0, big)  # > 5415 lines: must wrap, not crash
+        assert spans_to_text(parse_pdf_blob(blob)) == big
+
+    def test_table_in_skip_region_not_captured(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        for wrap in ("noscript", "svg", "head"):
+            h = f"<{wrap}><table><tr><td>hidden</td></tr></table></{wrap}><p>visible text</p>"
+            blocks = parse_blocks(h)
+            assert all(b.kind != "table" for b in blocks), wrap
+            assert any("visible" in b.text for b in blocks)
+
+    def test_script_inside_table_dropped(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        h = "<table><tr><td>x</td></tr><script>var a=1&&2;</script></table>"
+        t = [b for b in parse_blocks(h) if b.kind == "table"][0]
+        assert "script" not in t.table_html and "a=1" not in t.table_html
+
+    def test_nested_block_restores_enclosing_tag(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        blocks = parse_blocks("<li>item<p>inner</p>tail</li>")
+        assert [(b.tag, b.text) for b in blocks] == [
+            ("li", "item"), ("p", "inner"), ("li", "tail")]
+        heads = parse_blocks("<h2>head start<div>x</div>head end</h2>")
+        assert heads[-1].is_heading and heads[-1].tag == "h2"
+
+    def test_td_selfclose_and_bool_attrs(self):
+        from docling_eval_spark.extraction.html_tokenizer import parse_blocks
+
+        t = [b for b in parse_blocks("<table><tr><td/><td>x</td></tr></table>")
+             if b.kind == "table"][0]
+        assert "<td></td><td>x</td>" in t.table_html
+        t2 = [b for b in parse_blocks('<table><tr><td nowrap>x</td></tr></table>')
+              if b.kind == "table"][0]
+        assert "<td nowrap>" in t2.table_html
+
+    def test_null_html_degrades(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.corpus.generator import pages_from_documents
+        from docling_eval_spark.extraction.extract import extract_pages
+
+        pages = pages_from_documents(spark, sf_dir).limit(4) \
+            .withColumn("html", F.when(F.col("doc_id") % 2 == 0, F.col("html")))
+        out = extract_pages(pages).collect()
+        assert len(out) == 4  # null rows degrade to empty, no task death
+        assert any(r["extracted_text"] == "" for r in out)
+
+    def test_replicate_exclude_guard(self, spark, sf_dir):
+        from docling_eval_spark.corpus.generator import pages_from_documents
+
+        ex = spark.range(3).selectExpr("id as doc_id")
+        with pytest.raises(ValueError, match="replicate"):
+            pages_from_documents(spark, sf_dir, replicate=4, exclude=ex)
