@@ -132,3 +132,39 @@ class TestSparkPipelines:
         for row in ocr_scores(spark, sf_dir).collect():
             expect = 0.0 if row["mode"] == 0 else 1.0 / lens[row["doc_id"]]
             assert row["cer"] == pytest.approx(expect, abs=1e-12)
+
+
+class TestBinnedAPEquivalence:
+    """The distributed score-binned AP must match the exact sorted-list AP
+    whenever scores are distinct at bin resolution (varied-score regime —
+    the corpus queries only exercise the all-ties case)."""
+
+    def test_varied_scores_match_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from docling_eval_spark.functions.layout_metrics import average_precision
+        from docling_eval_spark.operators.layout_agg import corpus_map_from_partials
+
+        rng = np.random.RandomState(7)
+        n = 400
+        # genuinely DISTINCT scores (uniform spacing, 4-decimal exact):
+        # colliding scores share a bin and the binned AP evaluates them as
+        # a group — that deliberate tie semantics is NOT what this test
+        # pins; equality with the exact sorted AP requires distinctness
+        scores = np.round(np.linspace(0.05, 0.95, n), 4)
+        rng.shuffle(scores)
+        tp = rng.rand(n) < (0.2 + 0.6 * scores)  # better scores more likely TP
+        n_gt = int(tp.sum()) + 37
+
+        exact = average_precision(scores, tp, n_gt)
+
+        dets = spark.createDataFrame(pd.DataFrame({
+            "label": ["text"] * n,
+            "score": scores.astype(float),
+            "tp": [[bool(x)] * 10 for x in tp],
+        }))
+        gts = spark.createDataFrame(pd.DataFrame({
+            "label": ["text"], "n_gt": [n_gt]}))
+        got = corpus_map_from_partials(dets, gts).collect()[0]
+        assert got["map"] == got["map_50"] == round(exact, 6)
