@@ -342,6 +342,23 @@ def _q_simhash_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scale-safe dedup pipeline: exact pre-pass (collapses identical
+    texts — the degenerate-LSH-bucket families), capped minhash LSH + exact
+    verify among representatives, greedy keep-min drop. The oracle
+    recomputes the kept set with all-pairs exact Jaccard in SQL, proving
+    (a) the exact pre-pass keeps exactly the min-key per text and (b) the
+    capped LSH still misses no ≥0.8 pair on this corpus."""
+    from docling_eval_spark.operators.dedup import near_dedup, with_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n_parts = spark.sparkContext.defaultParallelism
+    corpus = with_near_dups(docs).repartition(
+        n_parts, F.xxhash64("doc_id", F.lit(0x5EED)))
+    kept = near_dedup(corpus, threshold=0.8, max_bucket_size=1000)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets."""
     from docling_eval_spark.operators.similarity import (
@@ -769,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dup": _q_minhash_near_dup,
+        "near_dedup_kept": _q_near_dedup_kept,
         "simhash_exact_dup": _q_simhash_exact_dup,
         "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
@@ -936,6 +954,31 @@ def oracle_sql() -> dict[str, str]:
             "  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8 "
             "ORDER BY a, b"
         ),
+        "near_dedup_kept": (
+            "WITH corpus AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000000, text || ' xdup' "
+            "    FROM documents WHERE doc_id % 3 = 0"
+            "  UNION ALL SELECT doc_id + 2000000000, text "
+            "    FROM documents WHERE doc_id % 7 = 0"
+            "), reps AS ("
+            "  SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text"
+            "), sh AS ("
+            "  SELECT doc_id, CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 "
+            "  THEN [text] ELSE list_distinct(list_transform("
+            "    range(1, len(string_split_regex(trim(text), '\\s+')) - 1), "
+            "    i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || "
+            "         string_split_regex(trim(text), '\\s+')[i+1] || ' ' || "
+            "         string_split_regex(trim(text), '\\s+')[i+2])) END AS grams "
+            "  FROM reps"
+            "), drops AS ("
+            "  SELECT b.doc_id AS doc_id FROM sh a, sh b "
+            "  WHERE a.doc_id < b.doc_id "
+            "  AND len(list_intersect(a.grams, b.grams)) * 1.0 "
+            "    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8) "
+            "SELECT doc_id FROM reps "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id"
+        ),
         "simhash_exact_dup": (
             "WITH corpus AS ("
             "  SELECT doc_id, text FROM documents"
@@ -985,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_meta": (
             "SELECT lang, count(*) AS n_docs, "
-            "sum(strlen(text) + 4) AS total_bytes, "
+            "cast(sum(strlen(text) + 4) AS bigint) AS total_bytes, "
             "count(DISTINCT text) AS n_unique, 'image/png' AS mime "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
@@ -1007,14 +1050,14 @@ def oracle_sql() -> dict[str, str]:
             "  * 1.0 / len(string_split(text, ' ')) AS swr "
             "FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
-            "sum(CASE WHEN n_words >= 10 AND mwl >= 3.0 AND mwl <= 12.0 "
-            "AND swr >= 0.01 THEN 1 ELSE 0 END) AS n_kept, "
+            "cast(sum(CASE WHEN n_words >= 10 AND mwl >= 3.0 AND mwl <= 12.0 "
+            "AND swr >= 0.01 THEN 1 ELSE 0 END) AS bigint) AS n_kept, "
             "round(avg(CASE WHEN n_words >= 10 AND mwl >= 3.0 AND mwl <= 12.0 "
             "AND swr >= 0.01 THEN 1.0 ELSE 0.0 END), 6) AS keep_rate "
             "FROM f GROUP BY lang ORDER BY lang"
         ),
         "token_counts": (
-            "SELECT lang, sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens, "
+            "SELECT lang, cast(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS bigint) AS total_tokens, "
             "round(avg(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END), 6) AS avg_tokens "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
@@ -1135,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_json_props": (
             "SELECT event_type, count(*) AS n, "
-            "sum(cast(props->>'k' AS bigint)) AS sum_k, "
+            "cast(sum(cast(props->>'k' AS bigint)) AS bigint) AS sum_k, "
             "round(avg(cast(props->>'k' AS bigint)), 6) AS avg_k "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
@@ -1148,8 +1191,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_histogram": (
             "WITH h AS (SELECT least(cast(floor(n_chars / 600.0 * 20) AS int), 19) AS bucket, "
             "count(*) AS n FROM documents GROUP BY 1) "
-            "SELECT bucket, n, sum(n) OVER (ORDER BY bucket "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n "
+            "SELECT bucket, n, cast(sum(n) OVER (ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_n "
             "FROM h ORDER BY bucket"
         ),
         "embedding_topk": (

@@ -43,6 +43,10 @@ _ATTR = re.compile(
 
 _RAW_TEXT = {"script", "style"}
 
+# tag-name characters per HTMLParser's endtagfind — a raw-text close tag
+# must NOT be followed by one ("</scripty>" does not terminate <script>)
+_NAME_CHAR = re.compile(r"[-.a-zA-Z0-9:_]")
+
 
 def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
     if not s or not s.strip():
@@ -102,7 +106,10 @@ def tokenize(html: str, sink) -> None:
                 if tag in _RAW_TEXT:
                     if lower is None:
                         lower = html.lower()
+                    tlen = 2 + len(tag)
                     close = lower.find("</" + tag, end)
+                    while close != -1 and _NAME_CHAR.match(lower, close + tlen):
+                        close = lower.find("</" + tag, close + 1)
                     if close == -1:
                         data(html[end:])
                         pos = n

@@ -222,9 +222,15 @@ class _BlockParser(HTMLParser):
             attr_s = ""
         self._table_parts.append(f"<{tag}{attr_s}>")
 
+    def finalize(self) -> None:
+        """End-of-document flush — the ONE flush rule shared by both
+        engines: input ending inside an unclosed leaf block keeps its
+        (possibly whitespace-only) trailing block."""
+        self._flush(allow_empty=self._leaf_open)
+
     def close(self):
         super().close()
-        self._flush(allow_empty=self._leaf_open)
+        self.finalize()
 
 
 def parse_blocks(html: str, engine: str = "fast") -> list[Block]:
@@ -240,7 +246,7 @@ def parse_blocks(html: str, engine: str = "fast") -> list[Block]:
         from .fast_tokenizer import tokenize
 
         tokenize(html, p)
-        p._flush()
+        p.finalize()
     else:
         p.feed(html)
         p.close()

@@ -126,8 +126,37 @@ def banded_signatures(sigs: DataFrame, key_cols: list[str],
     )
 
 
+def hot_buckets(banded: DataFrame, max_bucket_size: int,
+                bucket_cols: tuple[str, str] = ("band", "bucket")) -> DataFrame:
+    """(bucket_cols..., n) for every LSH bucket whose membership exceeds the
+    cap — the drop-accounting side of the degenerate-bucket guard. Callers
+    that enable a cap should materialize/log this frame so dropped candidate
+    volume is visible, never silent."""
+    return (
+        banded.groupBy(*bucket_cols).agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket_size)
+    )
+
+
+def _drop_hot_buckets(banded: DataFrame, max_bucket_size: int | None,
+                      bucket_cols: tuple[str, str] = ("band", "bucket")) -> DataFrame:
+    """Degenerate-bucket guard: a bucket with B members yields B^2/2 candidate
+    pairs, so one massive family of identical/boilerplate documents (empty
+    pages, templated spam — routine in Common-Crawl) turns the self-join
+    quadratic. Buckets above the cap are anti-joined away (the hot set is
+    tiny — broadcast). Recall note: exact duplicates should be collapsed
+    FIRST (see near_dedup); after that, a >cap bucket is boilerplate noise
+    whose pairs the verify stage would mostly reject anyway."""
+    if max_bucket_size is None:
+        return banded
+    hot = hot_buckets(banded, max_bucket_size, bucket_cols) \
+        .select(*bucket_cols)
+    return banded.join(F.broadcast(hot), on=list(bucket_cols), how="left_anti")
+
+
 def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
-                           bands: int = 32, rows_per_band: int = 4) -> DataFrame:
+                           bands: int = 32, rows_per_band: int = 4,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Banded LSH: equal band-slices -> candidate pairs (a < b).
 
     Shuffle cost: bands x n rows of (16-byte key, hash) — never quadratic.
@@ -136,8 +165,14 @@ def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
     (vs ~0.95 for b=16/r=8, which deterministically MISSES borderline
     pairs). The extra sub-threshold candidates this admits are discarded
     by the exact Jaccard verify, trading bounded extra compute for recall.
+
+    `max_bucket_size` enables the degenerate-bucket guard (see
+    _drop_hot_buckets). With the guard on, the banded subtree is consumed
+    twice (size aggregate + anti-join) — persist `sigs` upstream so the
+    signature UDF runs once (minhash_dedup_pairs does).
     """
-    banded = banded_signatures(sigs, [key], bands, rows_per_band)
+    banded = _drop_hot_buckets(
+        banded_signatures(sigs, [key], bands, rows_per_band), max_bucket_size)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -151,7 +186,7 @@ def minhash_lsh_candidates(sigs: DataFrame, key: str = "doc_id",
 def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
                          text_col: str = "text", key: str = "doc_id",
                          shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs (array ops, JVM-side).
+    r"""Exact n-gram Jaccard on candidate pairs (array ops, JVM-side).
 
     Tokenization is trim + split on \s+ — identical to both the minhash
     signature tokenizer (Python str.split) and the SQL oracle
@@ -191,17 +226,31 @@ def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", key: str = "doc_id",
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH candidates -> exact verify.
 
-    The candidate-pair set is persisted: the verify stage consumes it
-    three times (member semi-join + both sides of the gram join), and
+    The candidate-pair set is persisted while the verify stage consumes
+    it three times (member semi-join + both sides of the gram join);
     without the cache each consumer would recompute the whole
-    signature+banding subtree. The cached data is only the (a, b) id
-    pairs — tiny relative to the corpus."""
+    signature+banding subtree. The verify result is materialized eagerly
+    (it is only (a, b, jaccard) id pairs — tiny relative to the corpus)
+    so the intermediate candidate cache can be released before return:
+    repeated calls in a long-lived session leave nothing cached."""
     sigs = minhash_signatures(df, text_col, key)
-    cands = minhash_lsh_candidates(sigs, key).persist()
-    return ngram_jaccard_verify(df, cands, text_col, key, threshold=threshold)
+    if max_bucket_size is not None:
+        # the bucket-size guard consumes the banded subtree twice; cache
+        # signatures so the expensive UDF stage runs once
+        sigs = sigs.persist()
+    cands = minhash_lsh_candidates(
+        sigs, key, max_bucket_size=max_bucket_size).persist()
+    out = ngram_jaccard_verify(df, cands, text_col, key,
+                               threshold=threshold).persist()
+    out.count()  # materialize before releasing the candidate cache
+    cands.unpersist()
+    if max_bucket_size is not None:
+        sigs.unpersist()
+    return out
 
 
 # -- simhash ------------------------------------------------------------------
@@ -232,9 +281,12 @@ def simhash64(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> Dat
 
 
 def simhash_candidates(hashes: DataFrame, key: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Hamming-ball candidates via 4x16-bit block keys (Manku et al. 2007):
-    any pair within Hamming distance 3 shares at least one of 4 blocks."""
+    any pair within Hamming distance 3 shares at least one of 4 blocks.
+    `max_bucket_size` applies the same degenerate-bucket guard as the
+    minhash path (see _drop_hot_buckets) on (block_idx, block_val)."""
     blocks = hashes.select(
         key, "simhash",
         F.posexplode(F.array(*[
@@ -242,6 +294,8 @@ def simhash_candidates(hashes: DataFrame, key: str = "doc_id",
             for i in range(4)
         ])).alias("block_idx", "block_val"),
     )
+    blocks = _drop_hot_buckets(blocks, max_bucket_size,
+                               ("block_idx", "block_val"))
     l = blocks.alias("l")
     r = blocks.alias("r")
     pairs = (
@@ -254,6 +308,31 @@ def simhash_candidates(hashes: DataFrame, key: str = "doc_id",
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return pairs.select("a", "b", hamming.alias("hamming")) \
         .where(F.col("hamming") <= max_hamming)
+
+
+def near_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+               threshold: float = 0.8,
+               max_bucket_size: int | None = 1000) -> DataFrame:
+    """Scale-safe end-to-end near-dedup: returns the KEPT corpus rows.
+
+    1. exact-dedup pre-pass — identical texts collapse to their min-key
+       representative FIRST. This is the primary degenerate-bucket guard:
+       a 10M-doc family of byte-identical boilerplate (empty pages,
+       templated spam) otherwise lands every copy in the same LSH band
+       bucket and the candidate self-join goes quadratic on it.
+    2. minhash LSH + exact n-gram-Jaccard verify among the unique-text
+       representatives, with a per-bucket fan-out cap as the second line
+       of defense against NEAR-identical families (see _drop_hot_buckets).
+    3. greedy keep-min: every doc appearing as the larger key `b` of a
+       verified pair is dropped, so each near-dup chain keeps its
+       smallest key — deterministic and expressible in ANSI SQL, which
+       is what makes the whole pipeline oracle-checkable.
+    """
+    reps = exact_dedup(df, text_col, key)
+    pairs = minhash_dedup_pairs(reps, text_col, key, threshold=threshold,
+                                max_bucket_size=max_bucket_size)
+    drop = pairs.select(F.col("b").alias(key)).distinct()
+    return reps.join(drop, on=key, how="left_anti")
 
 
 # -- deterministic near-dup corpus derivation (for gates/benchmarks) ----------

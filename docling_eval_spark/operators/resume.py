@@ -51,11 +51,19 @@ def resume_filter(inputs: DataFrame, spark: SparkSession, output_path: str,
 
 def run_resumable(inputs: DataFrame, transform, spark: SparkSession,
                   output_path: str, key: str = "url") -> int:
-    """resume_filter -> transform -> append. Returns rows written THIS run
-    (committed-after minus committed-before)."""
+    """resume_filter -> transform -> append. Returns rows written THIS run.
+
+    The count comes from THIS run's persisted output frame, never from
+    re-scanning the cumulative committed table: at 10^12 committed rows a
+    before/after `read.parquet(output).count()` is two full-table scans
+    per increment. Persisting `out` (MEMORY_AND_DISK, spills if large)
+    also guarantees count and write see the same rows exactly once."""
     done = committed_keys(spark, output_path, key)
-    before = done.count() if done is not None else 0
     todo = inputs if done is None else inputs.join(done, on=key, how="left_anti")
-    out = transform(todo)
-    out.write.mode("append").parquet(output_path)
-    return spark.read.parquet(output_path).count() - before
+    out = transform(todo).persist()
+    try:
+        n = out.count()
+        out.write.mode("append").parquet(output_path)
+    finally:
+        out.unpersist()
+    return n

@@ -193,12 +193,20 @@ def _assign_buckets(df: DataFrame, centroids: "np.ndarray", id_col: str,
 
 def ivf_train(corpus: DataFrame, n_clusters: int = 16, iters: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding") -> "np.ndarray":
-    """Deterministic distributed Lloyd: init = vectors of the n_clusters
-    smallest ids; each iteration assigns (GEMM batches) and re-averages
+    """Deterministic distributed Lloyd: init = per-hash-group min-id
+    vectors (a k-group partial+final `min_by` aggregate — no global sort;
+    the previous `orderBy(id).limit(k)` sorted the whole corpus to pick k
+    rows); each iteration assigns (GEMM batches) and re-averages
     per-bucket via a native posexplode + groupBy partial+final aggregate."""
     base = corpus.select(F.col(id_col).alias(id_col),
                          _as_double(F.col(vec_col)).alias(vec_col))
-    init = (base.orderBy(id_col).limit(n_clusters).collect())
+    init = (
+        base.groupBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_clusters)).alias("_g"))
+        .agg(F.min_by(vec_col, F.col(id_col)).alias(vec_col),
+             F.min(id_col).alias("_id"))
+        .orderBy("_id")  # k rows only — deterministic centroid order
+        .collect()
+    )
     centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
     for _ in range(iters):
         assigned = _assign_buckets(base, centroids, id_col, vec_col)

@@ -119,7 +119,14 @@ def corpus_map(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
 
     docs = _docs(spark, sf_dir, n_partitions).where(
         (F.col("doc_id") % 4).isin(list(modes)))
-    partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA)
+    # The partials subtree is consumed twice (det rows and gt rows); without
+    # a persist the expensive mapInPandas matching stage executes twice.
+    # The final rollup is tiny, so materialize it eagerly and release the
+    # partials cache before returning — nothing stays cached.
+    partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA).persist()
     dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
     gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
-    return corpus_map_from_partials(dets, gts)
+    out = corpus_map_from_partials(dets, gts).persist()
+    out.count()
+    partials.unpersist()
+    return out
