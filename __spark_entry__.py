@@ -113,6 +113,31 @@ def _q_teds_tables_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_delta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 FULL bounded -10..10 delta-row/col histogram (reference
+    table_evaluator.py:51-90) over deterministically shape-perturbed
+    predictions (mode = doc_id % 4: identity / +1 row / +1 col / both).
+    Shapes are measured by the real HTML->grid parser; the oracle counts
+    docs per mode in closed form."""
+    from docling_eval_spark.plans.table_eval import delta_histogram, teds_scores
+
+    return delta_histogram(teds_scores(spark, sf_dir, perturb=True))
+
+
+def _q_ocr_page_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-granular OCR eval over the map<int, array<struct>> segmented-
+    page model (reference ocr_evaluator.py:150-162): per-page line-level
+    pairing, CER from the real Levenshtein kernel; oracle is the closed
+    form 0-or-1/len(page_text) per (doc_id, page_no)."""
+    from docling_eval_spark.plans.ocr_eval import page_ocr_scores
+
+    return page_ocr_scores(spark, sf_dir).select(
+        "doc_id", "page_no", "mode",
+        F.round("cer", 6).alias("cer"),
+        F.round("char_accuracy", 6).alias("char_accuracy"),
+    ).orderBy("doc_id", "page_no")
+
+
 def _q_extract_block_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-row accounting: content blocks per doc == paragraph count of the
     oracle text (generator contract); boiler blocks strictly positive."""
@@ -252,6 +277,69 @@ def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         gen, schema="doc_id bigint, idx int, label string, l int, t int, "
                     "r int, b int, text string"
+    ).orderBy("doc_id", "idx")
+
+
+def _q_prediction_files_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction-file adapter end-to-end (reference evaluators/adapters.py
+    :12-33 TextFilesAdapter + prediction_providers/file_provider.py:107-145):
+    a directory of <doc_id>.md files -> distributed binaryFile read -> GT
+    pairing by doc_id -> text-metric suite. Fixture: even doc_ids get a
+    byte-exact prediction file, odd doc_ids get none (the missing-
+    prediction path), so every metric is closed-form."""
+    import os
+    import tempfile
+
+    from docling_eval_spark.sources.prediction_files import score_prediction_files
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").where(F.col("doc_id") < 200)
+    )
+    tmp = tempfile.mkdtemp(prefix="predfiles_md_")
+    for r in docs.where(F.col("doc_id") % 2 == 0).collect():
+        with open(os.path.join(tmp, f"{r['doc_id']}.md"), "w") as f:
+            f.write(r["text"])
+    scored = score_prediction_files(spark, docs, tmp, extension="md")
+    return scored.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "has_prediction",
+        F.round("bleu", 6).alias("bleu"),
+        F.round("f1_score", 6).alias("f1_score"),
+        F.round("edit_distance", 6).alias("edit_distance"),
+    ).orderBy("doc_id")
+
+
+def _q_doctags_files_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doctags prediction-file adapter (reference evaluators/adapters.py
+    :36-66, fixtures shaped like tests/data/doclaynet_v1_doctags_sample/
+    *.dt): write <doc_id>.dt fixture files from the closed-form layout
+    corpus, read them through the distributed adapter, parse with the F19
+    parser into span rows."""
+    import os
+    import tempfile
+
+    from docling_eval_spark.corpus.layout_synth import gt_page
+    from docling_eval_spark.functions.doctags import DocTagSpan, to_doctags
+    from docling_eval_spark.plans.bbox_text_eval import box_text
+    from docling_eval_spark.sources.prediction_files import (
+        read_doctags_prediction_spans,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="predfiles_dt_")
+    for d in range(50):
+        boxes, labels = gt_page(d)
+        spans = [
+            DocTagSpan(str(labels[k]), int(boxes[k][0]), int(boxes[k][1]),
+                       int(boxes[k][2]), int(boxes[k][3]), box_text(d, k))
+            for k in range(len(boxes))
+        ]
+        with open(os.path.join(tmp, f"{d}.dt"), "w") as f:
+            f.write(to_doctags(spans))
+    spans_df = read_doctags_prediction_spans(spark, tmp)
+    return spans_df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "idx", "label", "l", "t", "r", "b", "text",
     ).orderBy("doc_id", "idx")
 
 
@@ -774,12 +862,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_identity_rate": _q_extract_identity_rate,
         "extract_block_counts": _q_extract_block_counts,
         "teds_tables_identity": _q_teds_tables_identity,
+        "table_delta_histogram": _q_table_delta_histogram,
+        "ocr_page_cer": _q_ocr_page_cer,
         "layout_image_metrics": _q_layout_image_metrics,
         "layout_corpus_map": _q_layout_corpus_map,
         "reading_order_ard": _q_reading_order_ard,
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "prediction_files_score": _q_prediction_files_score,
+        "doctags_files_spans": _q_doctags_files_spans,
         "ocr_cer": _q_ocr_cer,
         "doc_stats": _q_doc_stats,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -834,6 +926,44 @@ def oracle_sql() -> dict[str, str]:
         "teds_tables_identity": (
             "SELECT doc_id, 1.0 AS teds, 1.0 AS teds_struct FROM documents "
             "WHERE doc_id % 5 = 0"
+        ),
+        "table_delta_histogram": (
+            "WITH t AS (SELECT doc_id, doc_id % 4 AS m FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "c AS (SELECT "
+            "cast(sum(CASE WHEN m IN (1,3) THEN 1 ELSE 0 END) AS bigint) AS row_m1, "
+            "cast(sum(CASE WHEN m IN (0,2) THEN 1 ELSE 0 END) AS bigint) AS row_0, "
+            "cast(sum(CASE WHEN m IN (2,3) THEN 1 ELSE 0 END) AS bigint) AS col_m1, "
+            "cast(sum(CASE WHEN m IN (0,1) THEN 1 ELSE 0 END) AS bigint) AS col_0, "
+            "count(*) AS n FROM t) "
+            "SELECT cast(b.d AS int) AS delta, "
+            "cast(CASE WHEN b.d = -1 THEN row_m1 WHEN b.d = 0 THEN row_0 "
+            "ELSE 0 END AS bigint) AS n_rows, "
+            "cast(CASE WHEN b.d = -1 THEN col_m1 WHEN b.d = 0 THEN col_0 "
+            "ELSE 0 END AS bigint) AS n_cols, "
+            "round(CASE WHEN b.d = -1 THEN row_m1 WHEN b.d = 0 THEN row_0 "
+            "ELSE 0 END * 1.0 / n, 6) AS frac_rows, "
+            "round(CASE WHEN b.d = -1 THEN col_m1 WHEN b.d = 0 THEN col_0 "
+            "ELSE 0 END * 1.0 / n, 6) AS frac_cols "
+            "FROM (SELECT unnest(range(-10, 11)) AS d) b, c ORDER BY delta"
+        ),
+        "ocr_page_cer": (
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks "
+            "FROM documents), "
+            "p AS (SELECT doc_id, i AS page_no, "
+            "strlen(array_to_string("
+            "  toks[(i-1)*25+1 : least(len(toks), i*25)], ' ')) AS len, "
+            "(doc_id + i) % 3 AS m "
+            "FROM d, unnest(range(1, "
+            "  cast(ceil(len(toks) / 25.0) AS int) + 1)) AS t(i)) "
+            "SELECT doc_id, cast(page_no AS int) AS page_no, "
+            "cast(m AS int) AS mode, "
+            "CASE WHEN len = 0 THEN 1.0 WHEN m = 0 THEN 0.0 "
+            "ELSE round(1.0 / len, 6) END AS cer, "
+            "CASE WHEN len = 0 THEN 0.0 WHEN m = 0 THEN 1.0 "
+            "ELSE round(1.0 - 1.0 / len, 6) END AS char_accuracy "
+            "FROM p ORDER BY doc_id, page_no"
         ),
         # closed-form layout/reading-order/OCR oracles — see
         # corpus/layout_synth.py for the derivations
@@ -899,6 +1029,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doctags_parse": (
             "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents) "
+            "SELECT doc_id, cast(k AS int) AS idx, "
+            "CASE WHEN k = 0 THEN 'title' ELSE 'text' END AS label, "
+            "10 AS l, cast(2 + 10*k AS int) AS t, 30 AS r, "
+            "cast(10 + 10*k AS int) AS b, "
+            "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
+            "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "prediction_files_score": (
+            "SELECT doc_id, doc_id % 2 = 0 AS has_prediction, "
+            "CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS bleu, "
+            "CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS f1_score, "
+            "CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 1.0 END AS edit_distance "
+            "FROM documents WHERE doc_id < 200 ORDER BY doc_id"
+        ),
+        "doctags_files_spans": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents "
+            "WHERE doc_id < 50) "
             "SELECT doc_id, cast(k AS int) AS idx, "
             "CASE WHEN k = 0 THEN 'title' ELSE 'text' END AS label, "
             "10 AS l, cast(2 + 10*k AS int) AS t, 30 AS r, "

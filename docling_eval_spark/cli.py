@@ -5,6 +5,7 @@ consolidation wrapper aggregations/multi_evalutor.py + consolidator.py):
     python -m docling_eval_spark.cli create-gt    --from-documents DIR --output PATH
     python -m docling_eval_spark.cli create-eval  --input PATH --output PATH [--resume]
     python -m docling_eval_spark.cli evaluate     --input PATH --modality M --output-dir DIR
+    python -m docling_eval_spark.cli score-files  --pred-dir DIR --from-documents DIR --output-dir DIR
     python -m docling_eval_spark.cli visualize    --evaluation FILE.json --output-dir DIR
     python -m docling_eval_spark.cli consolidate  --from-documents DIR --output FILE.csv
 
@@ -116,6 +117,38 @@ def cmd_evaluate(args) -> None:
     print(f"evaluate: {m} -> {out}")
 
 
+def cmd_score_files(args) -> None:
+    """Score a directory of <doc_id>.<ext> prediction files against the GT
+    documents table — the reference's adapter path (evaluators/adapters.py
+    :12-33 + file_provider.py:107-145) as one distributed job."""
+    from pyspark.sql import functions as F
+
+    from .plans.report import write_evaluation_json
+    from .sources.prediction_files import score_prediction_files
+
+    spark = _spark(args.cpus)
+    gt = spark.read.parquet(
+        os.path.join(args.from_documents, "documents.parquet")
+    ).select("doc_id", "text")
+    scored = score_prediction_files(spark, gt, args.pred_dir,
+                                    extension=args.format)
+    roll = scored.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(~F.col("has_prediction"), 1).otherwise(0))
+        .alias("missing_prediction"),
+        F.round(F.avg("bleu"), 6).alias("mean_bleu"),
+        F.round(F.avg("f1_score"), 6).alias("mean_f1"),
+        F.round(F.avg("edit_distance"), 6).alias("mean_edit_distance"),
+    ).collect()[0].asDict()
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir,
+                       f"evaluation_{args.benchmark}_files.json")
+    write_evaluation_json(roll, out, benchmark=args.benchmark,
+                          modality="prediction_files")
+    print(f"score-files: {roll['total']} docs "
+          f"({roll['missing_prediction']} missing) -> {out}")
+
+
 def cmd_visualize(args) -> None:
     """Txt stats table (+ PNG histogram when matplotlib exists) from an
     evaluation JSON (reference cli/main.py:575-768, stats.py:53-74)."""
@@ -191,6 +224,14 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--benchmark", default="synthetic")
     v.add_argument("--output-dir", required=True)
     v.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("score-files")
+    p.add_argument("--pred-dir", required=True)
+    p.add_argument("--format", default="md", choices=["md", "txt"])
+    p.add_argument("--from-documents", required=True)
+    p.add_argument("--benchmark", default="files")
+    p.add_argument("--output-dir", required=True)
+    p.set_defaults(fn=cmd_score_files)
 
     z = sub.add_parser("visualize")
     z.add_argument("--evaluation", required=True)

@@ -25,7 +25,24 @@ TEDS_SCHEMA = (
 )
 
 
-def _teds_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def perturb_table_html(html: str, mode: int) -> str:
+    """Deterministic shape perturbations for the delta-row/col histogram
+    gate: mode 1 appends a row (pred_nrows = gt_nrows + 1 exactly — the
+    generator never lets a rowspan spill past the last row), mode 2
+    appends a cell to the first row (row 0 always spans the full grid
+    width, so pred_ncols = gt_ncols + 1 exactly), mode 3 both, mode 0
+    identity."""
+    out = html
+    if mode in (2, 3):
+        i = out.index("</tr>")
+        out = out[:i] + "<td>x</td>" + out[i:]
+    if mode in (1, 3):
+        j = out.rindex("</table>")
+        out = out[:j] + "<tr><td>x</td></tr>" + out[j:]
+    return out
+
+
+def _teds_batches(it: Iterator[pd.DataFrame], perturb: bool = False) -> Iterator[pd.DataFrame]:
     from ..corpus.html_synth import gt_table_html
     from ..functions.teds import (
         html_table_to_grid_cells,
@@ -39,6 +56,8 @@ def _teds_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, url, tables in zip(pdf["doc_id"], pdf["url"], pdf["tables"]):
             gt = gt_table_html(int(doc_id))
             pred = tables[0] if len(tables) else ""
+            if perturb:
+                pred = perturb_table_html(pred, int(doc_id) % 4)
             gt_cells = html_table_to_grid_cells(gt)
             pred_cells = html_table_to_grid_cells(pred)
             gnr, gnc = table_shape(gt_cells)
@@ -56,8 +75,13 @@ def _teds_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ])
 
 
-def teds_scores(spark: SparkSession, sf_dir: str, n_partitions: int = 16) -> DataFrame:
-    """Extract table pages and TEDS-score them against regenerable GT."""
+def teds_scores(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
+                perturb: bool = False) -> DataFrame:
+    """Extract table pages and TEDS-score them against regenerable GT.
+    `perturb` applies the deterministic shape perturbations (mode =
+    doc_id % 4) so the delta histogram has non-trivial bins."""
+    from functools import partial
+
     from ..corpus.generator import pages_from_documents
     from ..extraction.extract import extract_pages
     from ..operators.skew import size_balanced_repartition
@@ -65,7 +89,7 @@ def teds_scores(spark: SparkSession, sf_dir: str, n_partitions: int = 16) -> Dat
     pages = pages_from_documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
     ext = extract_pages(size_balanced_repartition(pages, n_partitions))
     return ext.select("doc_id", "url", "tables").mapInPandas(
-        _teds_batches, schema=TEDS_SCHEMA
+        partial(_teds_batches, perturb=perturb), schema=TEDS_SCHEMA
     )
 
 
@@ -81,4 +105,48 @@ def teds_rollup(scores: DataFrame) -> DataFrame:
         F.round(F.avg("teds_struct"), 6).alias("teds_struct_mean"),
         F.sum(F.when(clamp(F.col("gt_nrows") - F.col("pred_nrows")) == 0, 1).otherwise(0)).alias("delta_rows_0"),
         F.sum(F.when(clamp(F.col("gt_ncols") - F.col("pred_ncols")) == 0, 1).otherwise(0)).alias("delta_cols_0"),
+    )
+
+
+def delta_histogram(scores: DataFrame) -> DataFrame:
+    """A8 bounded delta-row/col histogram — the FULL -10..10 counter of
+    reference table_evaluator.py:51-90, not just the zero bin.
+
+    Reference semantics mirrored exactly: every bin -10..10 is present
+    (pre-initialized dict), deltas outside the range are SKIPPED (not
+    clamped into the edge bins), and fractions divide by the total
+    evaluation count including skipped rows. One native pass: each score
+    row explodes into its two (kind, delta) contributions, a single
+    partial+final groupBy counts them, and the 21-bin frame is a
+    broadcast-joined literal range — no driver-side loop."""
+    spark = scores.sparkSession
+    d = scores.select(
+        (F.col("gt_nrows") - F.col("pred_nrows")).alias("dr"),
+        (F.col("gt_ncols") - F.col("pred_ncols")).alias("dc"),
+    )
+    kd = (
+        d.select(F.explode(F.array(
+            F.struct(F.lit("row").alias("kind"), F.col("dr").alias("delta")),
+            F.struct(F.lit("col").alias("kind"), F.col("dc").alias("delta")),
+        )).alias("x"))
+        .select("x.kind", "x.delta")
+        .where(F.abs(F.col("delta")) <= 10)
+    )
+    counts = kd.groupBy("delta").agg(
+        F.sum(F.when(F.col("kind") == "row", 1).otherwise(0)).alias("n_rows"),
+        F.sum(F.when(F.col("kind") == "col", 1).otherwise(0)).alias("n_cols"),
+    )
+    bins = spark.range(-10, 11).select(F.col("id").cast("int").alias("delta"))
+    tot = scores.agg(F.count("*").alias("_tot"))
+    return (
+        bins.join(counts, on="delta", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "delta",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce("n_cols", F.lit(0)).cast("bigint").alias("n_cols"),
+            F.round(F.coalesce("n_rows", F.lit(0)) / F.col("_tot"), 6).alias("frac_rows"),
+            F.round(F.coalesce("n_cols", F.lit(0)) / F.col("_tot"), 6).alias("frac_cols"),
+        )
+        .orderBy("delta")
     )
