@@ -280,6 +280,80 @@ def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "idx")
 
 
+def _q_gt_builder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPBench-style GT dataset builder (reference dpbench_builder.py
+    :274-361 iterate + :140-276 element handling): annotation JSON ->
+    flat span rows via from_json + native explode/bbox/label mapping;
+    table shapes from the real HTML grid parser. The fixture JSON is
+    built natively from the documents table, so the oracle reproduces
+    every field in closed form."""
+    from docling_eval_spark.sources.gt_builder import (
+        dpbench_spans,
+        fixture_annotations,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 200)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    spans = dpbench_spans(fixture_annotations(docs))
+    return spans.orderBy("doc_id", "elem_idx")
+
+
+def _q_table_builder_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSL/HTML table dataset builder gate (reference
+    otsl_table_dataset_builder.py:157-252): GT table HTML -> span-aware
+    grid-cell records. Gates: byte-exact parse round-trip of the
+    canonical re-serialization (F3), full grid coverage, and TEDS < 1
+    against a shape-perturbed copy."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.gt_builder import table_records
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") % 5 == 0)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+
+    def htmlgen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.corpus.html_synth import gt_table_html
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "table_html": [gt_table_html(int(d)) for d in pdf["doc_id"]],
+            })
+
+    tbls = docs.mapInPandas(htmlgen, schema="doc_id bigint, table_html string")
+    recs = table_records(tbls)
+
+    def tedsgen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.functions.teds import teds_score
+        from docling_eval_spark.plans.table_eval import perturb_table_html
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "roundtrip_exact": pdf["roundtrip_exact"],
+                "grid_full": pdf["grid_full"],
+                "perturbed_teds_lt1": [
+                    teds_score(h, perturb_table_html(h, 1)) < 1.0
+                    for h in pdf["rebuilt_html"]
+                ],
+            })
+
+    return recs.select("doc_id", "roundtrip_exact", "grid_full",
+                       "rebuilt_html").mapInPandas(
+        tedsgen,
+        schema="doc_id bigint, roundtrip_exact boolean, grid_full boolean, "
+               "perturbed_teds_lt1 boolean",
+    ).orderBy("doc_id")
+
+
 def _q_prediction_files_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prediction-file adapter end-to-end (reference evaluators/adapters.py
     :12-33 TextFilesAdapter + prediction_providers/file_provider.py:107-145):
@@ -870,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "gt_builder_spans": _q_gt_builder_spans,
+        "table_builder_records": _q_table_builder_records,
         "prediction_files_score": _q_prediction_files_score,
         "doctags_files_spans": _q_doctags_files_spans,
         "ocr_cer": _q_ocr_cer,
@@ -1035,6 +1111,36 @@ def oracle_sql() -> dict[str, str]:
             "cast(10 + 10*k AS int) AS b, "
             "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
             "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "gt_builder_spans": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents "
+            "WHERE doc_id < 200), "
+            "e AS (SELECT doc_id, j AS elem_idx, (doc_id + j) % 12 AS li, "
+            "0.05 + j * 0.01 AS x1, 0.1 + j * 0.02 AS y1 "
+            "FROM d, unnest(range(0, k)) AS u(j)) "
+            "SELECT doc_id, cast(elem_idx AS int) AS elem_idx, "
+            "CASE li WHEN 0 THEN 'text' WHEN 1 THEN 'page_header' "
+            "WHEN 2 THEN 'page_footer' WHEN 3 THEN 'caption' "
+            "WHEN 4 THEN 'footnote' WHEN 5 THEN 'section_header' "
+            "WHEN 6 THEN 'list_item' WHEN 7 THEN 'formula' "
+            "WHEN 8 THEN 'picture' WHEN 9 THEN 'picture' "
+            "WHEN 10 THEN 'table' ELSE 'document_index' END AS label, "
+            "round(x1 * 612.0, 6) AS l, round(y1 * 792.0, 6) AS t, "
+            "round((x1 + 0.2) * 612.0, 6) AS r, "
+            "round((y1 + 0.15) * 792.0, 6) AS b, "
+            "CASE WHEN li = 11 THEN 'elem ' || doc_id || chr(10) || 'L' || elem_idx "
+            "ELSE 'elem ' || doc_id || ' L' || elem_idx END AS text, "
+            "cast(strlen('elem ' || doc_id || ' L' || elem_idx) AS int) "
+            "AS charspan_end, "
+            "cast(CASE WHEN li IN (10, 11) THEN 2 END AS int) AS n_rows, "
+            "cast(CASE WHEN li = 10 THEN 3 WHEN li = 11 THEN 2 END AS int) "
+            "AS n_cols "
+            "FROM e ORDER BY doc_id, elem_idx"
+        ),
+        "table_builder_records": (
+            "SELECT doc_id, true AS roundtrip_exact, true AS grid_full, "
+            "true AS perturbed_teds_lt1 FROM documents "
+            "WHERE doc_id % 5 = 0 ORDER BY doc_id"
         ),
         "prediction_files_score": (
             "SELECT doc_id, doc_id % 2 = 0 AS has_prediction, "

@@ -184,9 +184,23 @@ def cmd_visualize(args) -> None:
 
 
 def cmd_consolidate(args) -> None:
+    spark = _spark(args.cpus)
+    if args.evaluations:
+        # 3-D benchmark x experiment x modality matrix from evaluation
+        # JSON sidecars (reference consolidator.py:54-141)
+        from .plans.consolidation import (
+            consolidation_matrices,
+            load_evaluation_dir,
+            write_consolidation,
+        )
+
+        rows = load_evaluation_dir(spark, args.evaluations)
+        matrices = consolidation_matrices(rows)
+        path = write_consolidation(matrices, args.output)
+        print(f"consolidate: {len(matrices)} modality subtables -> {path}")
+        return
     from .plans.report import consolidation_pivot, docs_table
 
-    spark = _spark(args.cpus)
     piv = consolidation_pivot(docs_table(spark, args.from_documents))
     rows = piv.collect()
     cols = piv.columns
@@ -239,7 +253,9 @@ def main(argv: list[str] | None = None) -> None:
     z.set_defaults(fn=cmd_visualize)
 
     c = sub.add_parser("consolidate")
-    c.add_argument("--from-documents", required=True)
+    c.add_argument("--from-documents", default=None)
+    c.add_argument("--evaluations", default=None,
+                   help="dir of <experiment>/evaluation_*.json sidecars")
     c.add_argument("--output", required=True)
     c.set_defaults(fn=cmd_consolidate)
 

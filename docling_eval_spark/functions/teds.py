@@ -296,3 +296,30 @@ def table_shape(cells: list[dict]) -> tuple[int, int]:
         nr = max(nr, c["row"] + c["rowspan"])
         nc = max(nc, c["col"] + c["colspan"])
     return nr, nc
+
+
+def grid_cells_to_html(cells: list[dict]) -> str:
+    """Canonical re-serialization of grid cells (F3, reference
+    utils/utils.py table export direction): anchor cells grouped by row,
+    ordered (row, col), td-only with span attributes. For well-formed
+    grids this is an exact inverse of html_table_to_grid_cells:
+    parse(serialize(cells)) == cells."""
+    from html import escape
+
+    nr, _ = table_shape(cells)
+    by_row: dict[int, list[dict]] = {}
+    for c in sorted(cells, key=lambda c: (c["row"], c["col"])):
+        by_row.setdefault(c["row"], []).append(c)
+    parts = ["<table>"]
+    for r in range(nr):
+        parts.append("<tr>")
+        for c in by_row.get(r, []):
+            attrs = ""
+            if c["colspan"] > 1:
+                attrs += f' colspan="{c["colspan"]}"'
+            if c["rowspan"] > 1:
+                attrs += f' rowspan="{c["rowspan"]}"'
+            parts.append(f"<td{attrs}>{escape(c['text'], quote=False)}</td>")
+        parts.append("</tr>")
+    parts.append("</table>")
+    return "".join(parts)

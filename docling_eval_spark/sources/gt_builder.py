@@ -1,0 +1,237 @@
+"""Ground-truth dataset builders: annotation records -> the engine's flat
+span/table data model.
+
+Rebuilds of two reference builder families:
+
+  - DPBench-style (docling_eval/dataset_builders/dpbench_builder.py
+    :274-361 `iterate` + :140-276 `_update_gt_doc`): a `reference.json`
+    of per-file element annotations (normalized corner coordinates,
+    category label, text/html content) becomes one span row per element,
+    with the reference's label mapping, TOPLEFT bbox scaling by page
+    dims, newline->space text normalization (Index keeps raw text — the
+    reference reassigns it before building index rows), charspan
+    (0, len(text)), and table shapes parsed from the content HTML.
+
+  - OTSL/HTML table-style (dataset_builders/otsl_table_dataset_builder.py
+    :157-252): each record's table HTML becomes span-aware grid cells
+    (F2) plus shape/complexity columns and a canonical re-serialization
+    (F3) whose re-parse is byte-exact.
+
+Spark-first: annotations are parsed with `from_json` against an explicit
+schema, elements explode natively, bboxes/labels/charspans are pure JVM
+column work; only the table-HTML grid parse runs in an Arrow-batched
+stage — and only over the rows that actually carry a table.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# annotation element labels -> document-model labels
+# (dpbench_builder.py:174-276 branch-by-branch)
+LABEL_MAP = {
+    "Paragraph": "text",
+    "Header": "page_header",
+    "Footer": "page_footer",
+    "Caption": "caption",
+    "Footnote": "footnote",
+    "Heading1": "section_header",
+    "List": "list_item",
+    "Equation": "formula",
+    "Figure": "picture",
+    "Chart": "picture",
+    "Table": "table",
+    "Index": "document_index",
+}
+SRC_LABELS = list(LABEL_MAP)
+
+ANNOTATION_SCHEMA = (
+    "struct<page_width:double,page_height:double,"
+    "elements:array<struct<label:string,"
+    "coordinates:array<struct<x:double,y:double>>,"
+    "content:struct<text:string,html:string>>>>"
+)
+
+SPAN_SCHEMA_COLS = [
+    "doc_id", "elem_idx", "label", "l", "t", "r", "b", "text",
+    "charspan_end", "n_rows", "n_cols",
+]
+
+
+def _table_shape_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.teds import html_table_to_grid_cells, table_shape
+
+    for pdf in it:
+        rows = []
+        for doc_id, elem_idx, html in zip(pdf["doc_id"], pdf["elem_idx"],
+                                          pdf["html"]):
+            nr, nc = table_shape(html_table_to_grid_cells(html))
+            rows.append((doc_id, int(elem_idx), nr, nc))
+        yield pd.DataFrame(rows, columns=["doc_id", "elem_idx", "_tnr", "_tnc"])
+
+
+def dpbench_spans(anno_df: DataFrame, key: str = "doc_id",
+                  anno_col: str = "anno") -> DataFrame:
+    """(key, elem_idx, label, l, t, r, b, text, charspan_end, n_rows,
+    n_cols) from annotation-JSON rows. Everything except the table-HTML
+    grid parse is native column work; table rows are filtered BEFORE the
+    Python stage and joined back on (key, elem_idx)."""
+    parsed = anno_df.select(
+        key, F.from_json(F.col(anno_col), ANNOTATION_SCHEMA).alias("a"))
+    el = parsed.select(
+        key,
+        F.col("a.page_width").alias("_W"), F.col("a.page_height").alias("_H"),
+        F.posexplode("a.elements").alias("elem_idx", "e"),
+    )
+    xs = F.transform(F.col("e.coordinates"), lambda c: c["x"])
+    ys = F.transform(F.col("e.coordinates"), lambda c: c["y"])
+    label_map = F.create_map(
+        *[F.lit(x) for kv in LABEL_MAP.items() for x in kv])
+    # dpbench_builder.py:154: text newlines become spaces; the Index
+    # branch (:187-233) goes back to the RAW text for its rows — both
+    # mirrored. charspan (0, len) is on the normalized text (:167), whose
+    # length equals the raw length (1:1 replacement).
+    norm_text = F.regexp_replace(F.col("e.content.text"), "\n", " ")
+    text = F.when(F.col("e.label") == "Index", F.col("e.content.text")) \
+        .otherwise(norm_text)
+    base = el.select(
+        key, "elem_idx",
+        F.element_at(label_map, F.col("e.label")).alias("label"),
+        F.round(F.array_min(xs) * F.col("_W"), 6).alias("l"),
+        F.round(F.array_min(ys) * F.col("_H"), 6).alias("t"),
+        F.round(F.array_max(xs) * F.col("_W"), 6).alias("r"),
+        F.round(F.array_max(ys) * F.col("_H"), 6).alias("b"),
+        text.alias("text"),
+        F.length(norm_text).alias("charspan_end"),
+        F.col("e.label").alias("_src"),
+        F.col("e.content.html").alias("html"),
+    )
+    ktype = dict(anno_df.dtypes)[key]  # bigint doc ids or string filenames
+    shapes = base.where(F.col("_src") == "Table") \
+        .select(key, "elem_idx", "html") \
+        .mapInPandas(_table_shape_batches,
+                     schema=f"{key} {ktype}, elem_idx int, _tnr int, _tnc int")
+    out = base.join(shapes, on=[key, "elem_idx"], how="left")
+    # Index tables: the reference's "ultra approximate" 2-column index
+    # table (dpbench_builder.py:190-196): one row per raw-text line.
+    n_rows = (
+        F.when(F.col("_src") == "Index", F.size(F.split(F.col("text"), "\n")))
+        .when(F.col("_src") == "Table", F.col("_tnr"))
+    )
+    n_cols = (
+        F.when(F.col("_src") == "Index", F.lit(2))
+        .when(F.col("_src") == "Table", F.col("_tnc"))
+    )
+    return out.select(
+        key, "elem_idx", "label", "l", "t", "r", "b", "text",
+        "charspan_end",
+        n_rows.cast("int").alias("n_rows"), n_cols.cast("int").alias("n_cols"),
+    )
+
+
+def read_reference_json(spark: SparkSession, path: str,
+                        n_partitions: int = 16) -> DataFrame:
+    """A real `reference.json` file -> (doc_id, anno) rows. The file is a
+    single JSON object keyed by filename (dpbench_builder.py:289-296
+    loads it driver-side too — it is annotation metadata, small by
+    construction); elements then explode distributed. Filenames are
+    sorted for deterministic ordering, like the reference (:293)."""
+    with open(path) as f:
+        gt = json.load(f)
+    rows = [(name, json.dumps(gt[name])) for name in sorted(gt)]
+    return spark.createDataFrame(rows, "doc_id string, anno string") \
+        .repartition(n_partitions, "doc_id")
+
+
+def fixture_annotations(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic annotation fixture derived from the documents table —
+    (key, anno) JSON built NATIVELY (to_json of nested structs), so the
+    builder gate exercises a full JSON round-trip with zero Python.
+    doc_id d gets k = d%4+2 elements cycling through all 12 source
+    labels; element j sits at normalized x in [.05+.01j, .25+.01j],
+    y in [.1+.02j, .25+.02j] on a 612x792 page."""
+    k = (F.col(key) % 4 + 2).cast("int")
+    labels = F.array(*[F.lit(s) for s in SRC_LABELS])
+    table_html = ("<table><tr><td>a</td><td>b</td><td>c</td></tr>"
+                  "<tr><td>d</td><td>e</td><td>f</td></tr></table>")
+
+    def elem(j):
+        x1 = F.lit(0.05) + j * F.lit(0.01)
+        y1 = F.lit(0.1) + j * F.lit(0.02)
+        x2 = x1 + F.lit(0.2)
+        y2 = y1 + F.lit(0.15)
+        lab = F.element_at(labels, ((F.col(key) + j) % 12 + 1).cast("int"))
+        return F.struct(
+            lab.alias("label"),
+            F.array(
+                F.struct(x1.alias("x"), y1.alias("y")),
+                F.struct(x2.alias("x"), y1.alias("y")),
+                F.struct(x2.alias("x"), y2.alias("y")),
+                F.struct(x1.alias("x"), y2.alias("y")),
+            ).alias("coordinates"),
+            F.struct(
+                F.concat(F.lit("elem "), F.col(key).cast("string"),
+                         F.lit("\nL"), j.cast("string")).alias("text"),
+                F.when(lab == "Table", F.lit(table_html))
+                .otherwise(F.lit("")).alias("html"),
+            ).alias("content"),
+        )
+
+    anno = F.to_json(F.struct(
+        F.lit(612.0).alias("page_width"),
+        F.lit(792.0).alias("page_height"),
+        F.transform(F.sequence(F.lit(0), k - 1), elem).alias("elements"),
+    ))
+    return docs.select(key, anno.alias("anno"))
+
+
+# -- OTSL/HTML table dataset builder ------------------------------------------
+
+TABLE_RECORD_SCHEMA = (
+    "doc_id bigint, n_rows int, n_cols int, is_complex boolean, "
+    "cells array<struct<row:int,col:int,rowspan:int,colspan:int,text:string>>, "
+    "rebuilt_html string, roundtrip_exact boolean, grid_full boolean"
+)
+
+
+def _table_record_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.teds import (
+        grid_cells_to_html,
+        html_table_to_grid_cells,
+        is_complex_table,
+        table_shape,
+    )
+
+    for pdf in it:
+        rows = []
+        for doc_id, html in zip(pdf["doc_id"], pdf["table_html"]):
+            cells = html_table_to_grid_cells(html)
+            nr, nc = table_shape(cells)
+            rebuilt = grid_cells_to_html(cells)
+            roundtrip = html_table_to_grid_cells(rebuilt) == cells
+            covered = sum(c["rowspan"] * c["colspan"] for c in cells)
+            rows.append((
+                int(doc_id), nr, nc, is_complex_table(cells),
+                [(c["row"], c["col"], c["rowspan"], c["colspan"], c["text"])
+                 for c in cells],
+                rebuilt, roundtrip, covered == nr * nc,
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "n_rows", "n_cols", "is_complex", "cells",
+            "rebuilt_html", "roundtrip_exact", "grid_full"])
+
+
+def table_records(df: DataFrame, html_col: str = "table_html",
+                  key: str = "doc_id") -> DataFrame:
+    """OTSL-style table dataset builder (otsl_table_dataset_builder.py
+    :157-252): table HTML -> span-aware grid-cell records with shape,
+    complexity, the canonical re-serialization, and two self-gates
+    (exact parse round-trip; full grid coverage)."""
+    return df.select(F.col(key).alias("doc_id"),
+                     F.col(html_col).alias("table_html")) \
+        .mapInPandas(_table_record_batches, schema=TABLE_RECORD_SCHEMA)
