@@ -280,6 +280,29 @@ def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "idx")
 
 
+def _q_multi_prov_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 multi-provenance guard (reference readingorder_evaluator.py
+    :177-184): docs where any item has >1 provenance are skipped whole.
+    Fixture: doc_id % 3 + 2 items each with one provenance, except
+    doc_id % 9 == 0 docs whose first item gets two — those must drop.
+    Pure native filter (forall over the nested array), no explode."""
+    from docling_eval_spark.operators.guards import drop_multi_provenance_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    one_prov = F.struct(F.lit(1).alias("page_no"))
+    items = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3 + 1).cast("int")),
+        lambda j: F.struct(
+            F.when((F.col("doc_id") % 9 == 0) & (j == 0),
+                   F.array(one_prov, one_prov))
+            .otherwise(F.array(one_prov)).alias("prov")),
+    )
+    fixture = docs.select("doc_id", items.alias("items"))
+    kept = drop_multi_provenance_docs(fixture)
+    return kept.select(
+        "doc_id", F.size("items").alias("n_items")).orderBy("doc_id")
+
+
 def _q_gt_builder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPBench-style GT dataset builder (reference dpbench_builder.py
     :274-361 iterate + :140-276 element handling): annotation JSON ->
@@ -944,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "multi_prov_guard": _q_multi_prov_guard,
         "gt_builder_spans": _q_gt_builder_spans,
         "table_builder_records": _q_table_builder_records,
         "prediction_files_score": _q_prediction_files_score,
@@ -1111,6 +1135,10 @@ def oracle_sql() -> dict[str, str]:
             "cast(10 + 10*k AS int) AS b, "
             "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
             "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "multi_prov_guard": (
+            "SELECT doc_id, cast(doc_id % 3 + 2 AS int) AS n_items "
+            "FROM documents WHERE doc_id % 9 != 0 ORDER BY doc_id"
         ),
         "gt_builder_spans": (
             "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents "

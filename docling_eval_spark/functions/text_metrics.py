@@ -151,32 +151,51 @@ def bleu_score(pred_tokens: Sequence[str], true_tokens: Sequence[str], max_order
     return bp * math.exp(log_sum)
 
 
+def _align_stage(pred_tokens: Sequence[str], true_tokens: Sequence[str],
+                 pairs: list, used_pred: set, used_true: set,
+                 key) -> None:
+    """One injective greedy alignment stage over the not-yet-matched
+    tokens, matching on key(token); extends pairs/used in place."""
+    true_positions: dict[str, list[int]] = {}
+    for j, t in enumerate(true_tokens):
+        if j not in used_true:
+            true_positions.setdefault(key(t), []).append(j)
+    for i, p in enumerate(pred_tokens):
+        if i in used_pred:
+            continue
+        for j in true_positions.get(key(p), ()):
+            if j not in used_true:
+                used_true.add(j)
+                used_pred.add(i)
+                pairs.append((i, j))
+                break
+
+
 def meteor_score(pred_tokens: Sequence[str], true_tokens: Sequence[str],
                  alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """METEOR, exact-match alignment only (no WordNet in this environment).
+    """METEOR with exact + Porter-stem alignment stages.
 
     Standard formulation (Banerjee & Lavie 2005; nltk parameters):
       P = m/|pred|, R = m/|true|, Fmean = P*R / (alpha*P + (1-alpha)*R)
       penalty = gamma * (chunks/m)^beta ;  score = Fmean * (1 - penalty)
-    Matches are a left-to-right greedy injective alignment on exact tokens;
-    chunks = number of maximal runs of adjacent matches in both sequences.
-    Parity target: reference markdown_text_evaluator.py:230 (nltk meteor_score,
-    exact-match stage; stem/synonym stages need external corpora, out of scope).
+    Alignment mirrors nltk's staged matcher (the reference's
+    markdown_text_evaluator.py:230): stage 1 exact tokens, stage 2 Porter
+    stems over the remaining unmatched tokens (functions/stemmer.py —
+    from-scratch Porter 1980). The WordNet synonym stage needs an
+    external corpus and stays out of scope (documented deviation).
+    chunks = number of maximal runs of matches adjacent in BOTH orders.
     """
     if not pred_tokens or not true_tokens:
         return 0.0
-    # greedy injective exact alignment, preferring same-order matches
-    true_positions: dict[str, list[int]] = {}
-    for j, t in enumerate(true_tokens):
-        true_positions.setdefault(t, []).append(j)
+    from .stemmer import porter_stem
+
     pairs: list[tuple[int, int]] = []  # (pred_idx, true_idx)
-    used: set[int] = set()
-    for i, p in enumerate(pred_tokens):
-        for j in true_positions.get(p, ()):
-            if j not in used:
-                used.add(j)
-                pairs.append((i, j))
-                break
+    used_pred: set[int] = set()
+    used_true: set[int] = set()
+    _align_stage(pred_tokens, true_tokens, pairs, used_pred, used_true,
+                 key=lambda w: w)
+    _align_stage(pred_tokens, true_tokens, pairs, used_pred, used_true,
+                 key=porter_stem)
     m = len(pairs)
     if m == 0:
         return 0.0

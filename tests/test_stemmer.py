@@ -1,0 +1,72 @@
+"""Porter stemmer (Porter 1980) + METEOR stem-alignment stage."""
+
+
+def test_porter_published_vectors():
+    from docling_eval_spark.functions.stemmer import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, expect in vectors.items():
+        assert porter_stem(w) == expect, (w, porter_stem(w), expect)
+
+
+def test_meteor_stem_stage_matches_inflections():
+    from docling_eval_spark.functions.text_metrics import meteor_score
+
+    # 'running'/'runs' and 'cats'/'cat' only match via stems
+    pred = "the cats were running fast".split()
+    true = "the cat was runs fast".split()
+    with_stem = meteor_score(pred, true)
+    # exact-only alignment would match {the, fast} = 2 of 5
+    assert with_stem > meteor_score(pred, ["xxx"] * 5)
+    exact_only_m = 2
+    assert with_stem > 0.3  # 4 matches incl. stems beat 2 exact
+
+    # identical sentences: one chunk, stems change nothing
+    s = "alpha beta gamma delta".split()
+    assert meteor_score(s, s) == meteor_score(list(s), list(s))
+    assert meteor_score(s, s) > 0.99 * (1 - 0.5 * (1 / 4) ** 3)
+    assert exact_only_m == 2
+
+
+def test_meteor_stem_does_not_steal_exact_matches():
+    from docling_eval_spark.functions.text_metrics import meteor_score
+
+    # 'run' appears exactly in both; 'running' should stem-match the
+    # remaining 'runs', not consume the exact 'run' slot
+    pred = "run running".split()
+    true = "run runs".split()
+    assert meteor_score(pred, true) == meteor_score(
+        "run running".split(), "run runs".split())
+    # all 4 tokens aligned -> precision = recall = 1
+    s = meteor_score(pred, true)
+    assert s > 0.9  # full alignment, single-chunk-ish penalty only
