@@ -78,7 +78,9 @@ def main() -> None:
     qs = entrymod.queries()
     for name in ["teds_tables_identity", "layout_image_metrics",
                  "layout_corpus_map", "reading_order_ard",
-                 "minhash_near_dup", "pricing_summary", "region_revenue",
+                 "minhash_near_dup", "near_dedup_kept", "ocr_page_cer",
+                 "table_delta_histogram", "gt_builder_spans",
+                 "pricing_summary", "region_revenue",
                  "doc_len_histogram", "dedup_exact", "token_counts",
                  "embedding_topk", "top_parts_per_brand"]:
         t, _ = timed(lambda: qs[name](spark, sf_dir).collect())

@@ -327,12 +327,23 @@ def near_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id",
        verified pair is dropped, so each near-dup chain keeps its
        smallest key — deterministic and expressible in ANSI SQL, which
        is what makes the whole pipeline oracle-checkable.
+
+    Cache discipline: `reps` (the exact-dedup output) is consumed by the
+    signature stage, by all three verify-stage readers, and by the final
+    anti-join — six corpus-scan + shuffle recomputes without a persist
+    (measured 8x slower). It is persisted for the pipeline's duration
+    (the distributed-cluster equivalent is writing reps to a table),
+    the kept result is materialized eagerly, and every intermediate
+    cache is released before return.
     """
-    reps = exact_dedup(df, text_col, key)
+    reps = exact_dedup(df, text_col, key).persist()
     pairs = minhash_dedup_pairs(reps, text_col, key, threshold=threshold,
                                 max_bucket_size=max_bucket_size)
     drop = pairs.select(F.col("b").alias(key)).distinct()
-    return reps.join(drop, on=key, how="left_anti")
+    out = reps.join(drop, on=key, how="left_anti").persist()
+    out.count()  # materialize before releasing the reps cache
+    reps.unpersist()
+    return out
 
 
 # -- deterministic near-dup corpus derivation (for gates/benchmarks) ----------

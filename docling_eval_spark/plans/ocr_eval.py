@@ -156,7 +156,8 @@ def _page_cer_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 pdf["doc_id"], pdf["page_no"], pdf["mode"],
                 pdf["gt_text"], pdf["pred_text"]):
             if gt and pred:
-                c = cer(pred, gt)
+                # equality fast path: identical page text needs no DP
+                c = 0.0 if pred == gt else cer(pred, gt)
                 acc = 1.0 - min(1.0, c)
             else:
                 # reference ocr_evaluator.py:109-113: missing text on

@@ -115,32 +115,37 @@ def delta_histogram(scores: DataFrame) -> DataFrame:
     Reference semantics mirrored exactly: every bin -10..10 is present
     (pre-initialized dict), deltas outside the range are SKIPPED (not
     clamped into the edge bins), and fractions divide by the total
-    evaluation count including skipped rows. One native pass: each score
-    row explodes into its two (kind, delta) contributions, a single
-    partial+final groupBy counts them, and the 21-bin frame is a
-    broadcast-joined literal range — no driver-side loop."""
+    evaluation count including skipped rows.
+
+    ONE pass over `scores` (the expensive upstream is a TEDS-scoring UDF
+    stage — a second consumer would recompute it): each row explodes
+    into its two (kind, delta) contributions with out-of-range deltas
+    folded to a null bin, a single partial+final groupBy counts them,
+    the total (incl. skipped) is a window sum over the tiny 22-bin
+    frame, and the null bin drops at the final bin join."""
+    from pyspark.sql import Window
+
     spark = scores.sparkSession
     d = scores.select(
         (F.col("gt_nrows") - F.col("pred_nrows")).alias("dr"),
         (F.col("gt_ncols") - F.col("pred_ncols")).alias("dc"),
     )
-    kd = (
-        d.select(F.explode(F.array(
-            F.struct(F.lit("row").alias("kind"), F.col("dr").alias("delta")),
-            F.struct(F.lit("col").alias("kind"), F.col("dc").alias("delta")),
-        )).alias("x"))
-        .select("x.kind", "x.delta")
-        .where(F.abs(F.col("delta")) <= 10)
-    )
+    in_range = lambda c: F.when(F.abs(c) <= 10, c)  # noqa: E731  (else null bin)
+    kd = d.select(F.explode(F.array(
+        F.struct(F.lit("row").alias("kind"), in_range(F.col("dr")).alias("delta")),
+        F.struct(F.lit("col").alias("kind"), in_range(F.col("dc")).alias("delta")),
+    )).alias("x")).select("x.kind", "x.delta")
     counts = kd.groupBy("delta").agg(
         F.sum(F.when(F.col("kind") == "row", 1).otherwise(0)).alias("n_rows"),
         F.sum(F.when(F.col("kind") == "col", 1).otherwise(0)).alias("n_cols"),
     )
+    w = Window.partitionBy()
+    counts = counts.withColumn("_tot", F.sum("n_rows").over(w))
     bins = spark.range(-10, 11).select(F.col("id").cast("int").alias("delta"))
-    tot = scores.agg(F.count("*").alias("_tot"))
     return (
-        bins.join(counts, on="delta", how="left")
-        .crossJoin(F.broadcast(tot))
+        bins.join(counts.where(F.col("delta").isNotNull()),
+                  on="delta", how="left")
+        .withColumn("_tot", F.max("_tot").over(w))  # fill bins with no counts row
         .select(
             "delta",
             F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
