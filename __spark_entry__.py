@@ -377,6 +377,22 @@ def _q_table_builder_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-(sf_dir, kind) fixture directory under the system
+    temp root — idempotently rewritten, never leaked per invocation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    h = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(),
+                     f"docling_eval_spark_fixture_{kind}_{h}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _q_prediction_files_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prediction-file adapter end-to-end (reference evaluators/adapters.py
     :12-33 TextFilesAdapter + prediction_providers/file_provider.py:107-145):
@@ -385,7 +401,6 @@ def _q_prediction_files_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exact prediction file, odd doc_ids get none (the missing-
     prediction path), so every metric is closed-form."""
     import os
-    import tempfile
 
     from docling_eval_spark.sources.prediction_files import score_prediction_files
 
@@ -393,7 +408,7 @@ def _q_prediction_files_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text").where(F.col("doc_id") < 200)
     )
-    tmp = tempfile.mkdtemp(prefix="predfiles_md_")
+    tmp = _fixture_dir(sf_dir, "md")
     for r in docs.where(F.col("doc_id") % 2 == 0).collect():
         with open(os.path.join(tmp, f"{r['doc_id']}.md"), "w") as f:
             f.write(r["text"])
@@ -412,9 +427,9 @@ def _q_doctags_files_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     :36-66, fixtures shaped like tests/data/doclaynet_v1_doctags_sample/
     *.dt): write <doc_id>.dt fixture files from the closed-form layout
     corpus, read them through the distributed adapter, parse with the F19
-    parser into span rows."""
+    parser into span rows. Fixture ids come FROM the documents table so
+    engine output and oracle stay coupled on any corpus."""
     import os
-    import tempfile
 
     from docling_eval_spark.corpus.layout_synth import gt_page
     from docling_eval_spark.functions.doctags import DocTagSpan, to_doctags
@@ -423,8 +438,11 @@ def _q_doctags_files_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_doctags_prediction_spans,
     )
 
-    tmp = tempfile.mkdtemp(prefix="predfiles_dt_")
-    for d in range(50):
+    ids = [int(r["doc_id"]) for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id")
+        .where(F.col("doc_id") < 50).collect()]
+    tmp = _fixture_dir(sf_dir, "dt")
+    for d in ids:
         boxes, labels = gt_page(d)
         spans = [
             DocTagSpan(str(labels[k]), int(boxes[k][0]), int(boxes[k][1]),

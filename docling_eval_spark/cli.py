@@ -199,6 +199,10 @@ def cmd_consolidate(args) -> None:
         path = write_consolidation(matrices, args.output)
         print(f"consolidate: {len(matrices)} modality subtables -> {path}")
         return
+    if not args.from_documents:
+        raise SystemExit(
+            "consolidate: provide --evaluations (3-D matrix) or "
+            "--from-documents (legacy pivot)")
     from .plans.report import consolidation_pivot, docs_table
 
     piv = consolidation_pivot(docs_table(spark, args.from_documents))

@@ -1,4 +1,4 @@
-"""Fast regex HTML tokenizer — same Block output, ~4x the stdlib parser.
+r"""Fast regex HTML tokenizer — same Block output, ~4x the stdlib parser.
 
 The hot path of the whole engine is parse_blocks (92% of extraction time
 was inside stdlib html.parser's per-character goahead loop). This
@@ -9,8 +9,9 @@ html_tokenizer.py) from one compiled scanner regex:
   - start / end / self-closing tags matched with quote-aware attribute
     scanning (">" allowed inside quoted attribute values);
   - character data is entity-decoded only when an "&" is present;
-  - script/style are raw-text elements: one str.find to the literal
-    close tag (HTMLParser CDATA semantics), no tokenization inside.
+  - script/style are raw-text elements: one compiled r"</\s*tag\s*>"
+    search (HTMLParser CDATA endtagfind semantics), no tokenization
+    inside.
 
 Parity: byte-identical Block output vs the stdlib-parser path on all
 well-formed input (tested over the full generator corpus); on hostile
@@ -43,9 +44,12 @@ _ATTR = re.compile(
 
 _RAW_TEXT = {"script", "style"}
 
-# tag-name characters per HTMLParser's endtagfind — a raw-text close tag
-# must NOT be followed by one ("</scripty>" does not terminate <script>)
-_NAME_CHAR = re.compile(r"[-.a-zA-Z0-9:_]")
+# HTMLParser CDATA-mode close semantics: a raw-text element terminates
+# ONLY at r'</\s*tag\s*>' (endtagfind with a matching cdata_elem).
+# '</script foo>', '</scripty>', '</script/>' are all DATA and raw mode
+# continues; '</ script>' DOES terminate. Matching the stdlib exactly is
+# what keeps the two engines byte-identical.
+_RAW_CLOSE = {t: re.compile(r"</\s*" + t + r"\s*>", re.I) for t in _RAW_TEXT}
 
 
 def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
@@ -66,7 +70,6 @@ def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
 def tokenize(html: str, sink) -> None:
     """Drive `sink` (handle_starttag/handle_endtag/handle_startendtag/
     handle_data) over `html`."""
-    lower = None  # lazily lowered copy for raw-text close-tag search
     pos = 0
     n = len(html)
     match = _TOKEN.match
@@ -104,19 +107,13 @@ def tokenize(html: str, sink) -> None:
             else:
                 start(tag, attrs)
                 if tag in _RAW_TEXT:
-                    if lower is None:
-                        lower = html.lower()
-                    tlen = 2 + len(tag)
-                    close = lower.find("</" + tag, end)
-                    while close != -1 and _NAME_CHAR.match(lower, close + tlen):
-                        close = lower.find("</" + tag, close + 1)
-                    if close == -1:
+                    cm = _RAW_CLOSE[tag].search(html, end)
+                    if cm is None:
                         data(html[end:])
                         pos = n
                         continue
-                    if close > end:
-                        data(html[end:close])
-                    gt = html.find(">", close)
+                    if cm.start() > end:
+                        data(html[end:cm.start()])
                     endt(tag)
-                    end = (gt + 1) if gt != -1 else n
+                    end = cm.end()
         pos = end

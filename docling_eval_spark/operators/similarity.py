@@ -200,13 +200,24 @@ def ivf_train(corpus: DataFrame, n_clusters: int = 16, iters: int = 2,
     per-bucket via a native posexplode + groupBy partial+final aggregate."""
     base = corpus.select(F.col(id_col).alias(id_col),
                          _as_double(F.col(vec_col)).alias(vec_col))
+    # 8x finer hash grouping than clusters: one min_by partial+final
+    # aggregate yields up to 8k candidate rows, from which the k
+    # smallest ids become centroids — deterministic, and the empty-
+    # hash-group shortfall (a k-group pmod leaves ~e^-n/k groups empty)
+    # is vanishingly rare at 8k groups. If it still happens, fall back
+    # to the exact orderBy(id).limit(k) global sort rather than silently
+    # returning fewer clusters than asked.
     init = (
-        base.groupBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_clusters)).alias("_g"))
+        base.groupBy(F.pmod(F.xxhash64(F.col(id_col)),
+                            F.lit(8 * n_clusters)).alias("_g"))
         .agg(F.min_by(vec_col, F.col(id_col)).alias(vec_col),
              F.min(id_col).alias("_id"))
-        .orderBy("_id")  # k rows only — deterministic centroid order
+        .orderBy("_id")
+        .limit(n_clusters)
         .collect()
     )
+    if len(init) < min(n_clusters, base.count()):  # pragma: no cover - rare
+        init = base.orderBy(id_col).limit(n_clusters).collect()
     centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
     for _ in range(iters):
         assigned = _assign_buckets(base, centroids, id_col, vec_col)

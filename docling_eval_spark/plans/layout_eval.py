@@ -111,7 +111,8 @@ def _partial_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def corpus_map(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
-               modes: tuple[int, ...] = (0, 1)) -> DataFrame:
+               modes: tuple[int, ...] = (0, 1),
+               materialize: bool = True) -> DataFrame:
     """Corpus-level mAP over the docs whose perturbation mode is in `modes`
     (the default {identity, dropped-box} set has an exact SQL oracle:
     precision is 1 everywhere, so AP = (floor(100*TP/GT)+1)/101)."""
@@ -119,11 +120,19 @@ def corpus_map(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
 
     docs = _docs(spark, sf_dir, n_partitions).where(
         (F.col("doc_id") % 4).isin(list(modes)))
+    partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA)
+    if not materialize:
+        # fully lazy plan for inspection/composition — the partials
+        # subtree will execute once per consumer
+        dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
+        gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
+        return corpus_map_from_partials(dets, gts)
     # The partials subtree is consumed twice (det rows and gt rows); without
     # a persist the expensive mapInPandas matching stage executes twice.
-    # The final rollup is tiny, so materialize it eagerly and release the
-    # partials cache before returning — nothing stays cached.
-    partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA).persist()
+    # The rollup is materialized eagerly and the partials cache released;
+    # the RETURNED one-row-per-summary frame stays cached (caller-owned —
+    # its footprint is a handful of rows).
+    partials = partials.persist()
     dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
     gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
     out = corpus_map_from_partials(dets, gts).persist()

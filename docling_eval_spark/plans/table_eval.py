@@ -33,13 +33,13 @@ def perturb_table_html(html: str, mode: int) -> str:
     width, so pred_ncols = gt_ncols + 1 exactly), mode 3 both, mode 0
     identity."""
     out = html
-    if mode in (2, 3):
+    if mode in (2, 3) and "</tr>" in out:
         i = out.index("</tr>")
         out = out[:i] + "<td>x</td>" + out[i:]
-    if mode in (1, 3):
+    if mode in (1, 3) and "</table>" in out:
         j = out.rindex("</table>")
         out = out[:j] + "<tr><td>x</td></tr>" + out[j:]
-    return out
+    return out  # missing-table predictions pass through unperturbed
 
 
 def _teds_batches(it: Iterator[pd.DataFrame], perturb: bool = False) -> Iterator[pd.DataFrame]:
@@ -120,11 +120,11 @@ def delta_histogram(scores: DataFrame) -> DataFrame:
     ONE pass over `scores` (the expensive upstream is a TEDS-scoring UDF
     stage — a second consumer would recompute it): each row explodes
     into its two (kind, delta) contributions with out-of-range deltas
-    folded to a null bin, a single partial+final groupBy counts them,
-    the total (incl. skipped) is a window sum over the tiny 22-bin
-    frame, and the null bin drops at the final bin join."""
-    from pyspark.sql import Window
-
+    folded to a null bin, and a single partial+final groupBy collects
+    the <=22 bin counts. The 21-bin assembly (total incl. skipped,
+    fractions, empty bins) is driver-side literal data, mirroring the
+    reference's pre-initialized dict. An all-skipped or empty input
+    yields fractions of 0.0, never nulls."""
     spark = scores.sparkSession
     d = scores.select(
         (F.col("gt_nrows") - F.col("pred_nrows")).alias("dr"),
@@ -135,23 +135,22 @@ def delta_histogram(scores: DataFrame) -> DataFrame:
         F.struct(F.lit("row").alias("kind"), in_range(F.col("dr")).alias("delta")),
         F.struct(F.lit("col").alias("kind"), in_range(F.col("dc")).alias("delta")),
     )).alias("x")).select("x.kind", "x.delta")
-    counts = kd.groupBy("delta").agg(
+    rows = kd.groupBy("delta").agg(
         F.sum(F.when(F.col("kind") == "row", 1).otherwise(0)).alias("n_rows"),
         F.sum(F.when(F.col("kind") == "col", 1).otherwise(0)).alias("n_cols"),
-    )
-    w = Window.partitionBy()
-    counts = counts.withColumn("_tot", F.sum("n_rows").over(w))
-    bins = spark.range(-10, 11).select(F.col("id").cast("int").alias("delta"))
-    return (
-        bins.join(counts.where(F.col("delta").isNotNull()),
-                  on="delta", how="left")
-        .withColumn("_tot", F.max("_tot").over(w))  # fill bins with no counts row
-        .select(
-            "delta",
-            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
-            F.coalesce("n_cols", F.lit(0)).cast("bigint").alias("n_cols"),
-            F.round(F.coalesce("n_rows", F.lit(0)) / F.col("_tot"), 6).alias("frac_rows"),
-            F.round(F.coalesce("n_cols", F.lit(0)) / F.col("_tot"), 6).alias("frac_cols"),
-        )
-        .orderBy("delta")
-    )
+    ).collect()  # <=22 rows — the distributed work ends at this aggregate
+    # 21-bin assembly is driver-side literal data (the reference's
+    # pre-initialized dict, table_evaluator.py:53-54) — scores computed
+    # exactly once, nothing left cached
+    tot = sum(r["n_rows"] for r in rows)
+    by = {r["delta"]: r for r in rows if r["delta"] is not None}
+    out = []
+    for delta in range(-10, 11):
+        nr = int(by[delta]["n_rows"]) if delta in by else 0
+        nc = int(by[delta]["n_cols"]) if delta in by else 0
+        out.append((delta, nr, nc,
+                    round(nr / tot, 6) if tot else 0.0,
+                    round(nc / tot, 6) if tot else 0.0))
+    return spark.createDataFrame(
+        out, "delta int, n_rows bigint, n_cols bigint, "
+             "frac_rows double, frac_cols double").orderBy("delta")
