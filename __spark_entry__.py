@@ -280,6 +280,59 @@ def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "idx")
 
 
+def _q_layout_class_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class corpus AP (consolidator.py:214-217 class_<label>
+    columns): title is never perturbed in modes {0,1} (AP 1.0); text
+    loses one detection per mode-1 doc, so its AP is the closed-form
+    101-point value at recall TP/GT with precision 1."""
+    from docling_eval_spark.plans.layout_eval import corpus_class_ap
+
+    return corpus_class_ap(spark, sf_dir).orderBy("label")
+
+
+def _q_cvat_roundtrip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CVAT annotation round-trip (reference cvat_preannotation_builder.py
+    write side + cvat_dataset_builder.py:263-340 read side): the layout
+    corpus serializes to CVAT image XML with the boxes deterministically
+    SHUFFLED and the reading_order polyline in true order; the reader
+    must recover the true order via point-in-box resolution. Oracle =
+    the closed-form layout geometry in reading order."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from docling_eval_spark.sources.cvat import cvat_annotation_spans, to_cvat_xml
+
+    def xmlgen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.corpus.layout_synth import gt_page
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                boxes, labels = gt_page(d)
+                perm = np.random.RandomState(d).permutation(len(boxes))
+                # boxes listed shuffled; polyline visits true order:
+                # polyline position j must point at listed index of
+                # original box j -> inverse permutation
+                inv = np.empty(len(boxes), dtype=np.int64)
+                inv[perm] = np.arange(len(boxes))
+                xml_s = to_cvat_xml(
+                    boxes[perm], [str(x) for x in np.asarray(labels)[perm]],
+                    name=f"{d}.png", reading_order=[int(x) for x in inv])
+                rows.append((d, xml_s))
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 100)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    xmls = docs.mapInPandas(xmlgen, schema="doc_id bigint, xml string")
+    return cvat_annotation_spans(xmls).orderBy("doc_id", "idx")
+
+
 def _q_multi_prov_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 multi-provenance guard (reference readingorder_evaluator.py
     :177-184): docs where any item has >1 provenance are skipped whole.
@@ -985,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "layout_class_ap": _q_layout_class_ap,
+        "cvat_roundtrip_spans": _q_cvat_roundtrip_spans,
         "multi_prov_guard": _q_multi_prov_guard,
         "gt_builder_spans": _q_gt_builder_spans,
         "table_builder_records": _q_table_builder_records,
@@ -1152,6 +1207,23 @@ def oracle_sql() -> dict[str, str]:
             "10 AS l, cast(2 + 10*k AS int) AS t, 30 AS r, "
             "cast(10 + 10*k AS int) AS b, "
             "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
+            "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "layout_class_ap": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 4 AS m "
+            "FROM documents WHERE doc_id % 4 IN (0, 1)), "
+            "t AS (SELECT round((floor(100.0 * sum(n - 1 - (CASE WHEN m = 1 "
+            "THEN 1 ELSE 0 END)) / sum(n - 1)) + 1) / 101.0, 6) AS v FROM d) "
+            "SELECT * FROM (SELECT 'text' AS label, v AS ap, v AS ap_50 FROM t "
+            "UNION ALL SELECT 'title', 1.0, 1.0) ORDER BY label"
+        ),
+        "cvat_roundtrip_spans": (
+            "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents "
+            "WHERE doc_id < 100) "
+            "SELECT doc_id, cast(k AS int) AS idx, "
+            "CASE WHEN k = 0 THEN 'title' ELSE 'text' END AS label, "
+            "10.0 AS l, cast(2 + 10*k AS double) AS t, 30.0 AS r, "
+            "cast(10 + 10*k AS double) AS b "
             "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
         ),
         "multi_prov_guard": (

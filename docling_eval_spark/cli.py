@@ -96,6 +96,11 @@ def cmd_evaluate(args) -> None:
             F.round(F.avg("mask_f1"), 6).alias("mean_mask_f1"),
         ).collect()[0].asDict()
         roll.update(corpus_map(spark, args.from_documents).collect()[0].asDict())
+        from .plans.layout_eval import corpus_class_ap
+
+        # consolidator.py:214-217 class_<label> columns
+        roll.update({f"class_{r['label']}": r["ap"]
+                     for r in corpus_class_ap(spark, args.from_documents).collect()})
     elif m == "reading_order":
         from .plans.reading_order_eval import reading_order_rollup, reading_order_scores
 

@@ -58,13 +58,12 @@ def _ap_from_bins(pdf: pd.DataFrame) -> pd.DataFrame:
                          "ap": [float(interp.mean())]})
 
 
-def corpus_map_from_partials(detections: DataFrame, gt_counts: DataFrame,
-                             n_bins: int = 10001) -> DataFrame:
-    """detections(label, score, tp array<boolean>[T]) + gt_counts(label,
-    n_gt) -> one row (map, map_50, map_75).
-
-    Classes with zero gt are excluded (NaN-skip, torchmetrics parity).
-    """
+def class_threshold_aps(detections: DataFrame, gt_counts: DataFrame,
+                        n_bins: int = 10001) -> DataFrame:
+    """The shared binned partial+final stage: detections(label, score,
+    tp array<boolean>[T]) + gt_counts(label, n_gt) -> one AP row per
+    (label, thr_idx). Classes with zero gt are excluded (NaN-skip,
+    torchmetrics parity)."""
     binned = (
         detections
         .select(
@@ -94,11 +93,29 @@ def corpus_map_from_partials(detections: DataFrame, gt_counts: DataFrame,
                 F.coalesce("n_det", F.lit(0)).alias("n_det"),
                 "n_gt")
     )
-    aps = joined.groupBy("label", "thr_idx").applyInPandas(
+    return joined.groupBy("label", "thr_idx").applyInPandas(
         _ap_from_bins, schema="label string, thr_idx int, ap double"
     ).where(~F.isnan("ap"))
+
+
+def corpus_map_from_partials(detections: DataFrame, gt_counts: DataFrame,
+                             n_bins: int = 10001) -> DataFrame:
+    """One row (map, map_50, map_75) over all classes."""
+    aps = class_threshold_aps(detections, gt_counts, n_bins)
     return aps.agg(
         F.round(F.avg("ap"), 6).alias("map"),
         F.round(F.avg(F.when(F.col("thr_idx") == 0, F.col("ap"))), 6).alias("map_50"),
         F.round(F.avg(F.when(F.col("thr_idx") == 5, F.col("ap"))), 6).alias("map_75"),
+    )
+
+
+def corpus_ap_per_class(detections: DataFrame, gt_counts: DataFrame,
+                        n_bins: int = 10001) -> DataFrame:
+    """Per-class AP rows (label, ap, ap_50) — the reference consolidator's
+    `class_<label>` columns (consolidator.py:214-217 from
+    layout_evaluator's evaluations_per_class)."""
+    aps = class_threshold_aps(detections, gt_counts, n_bins)
+    return aps.groupBy("label").agg(
+        F.round(F.avg("ap"), 6).alias("ap"),
+        F.round(F.avg(F.when(F.col("thr_idx") == 0, F.col("ap"))), 6).alias("ap_50"),
     )

@@ -110,6 +110,23 @@ def _partial_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "doc_id", "kind", "label", "score", "tp", "n_gt"])
 
 
+def corpus_class_ap(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
+                    modes: tuple[int, ...] = (0, 1)) -> DataFrame:
+    """Per-class corpus AP (the consolidator's class_<label> columns) —
+    same persisted single-pass partials as corpus_map, different final."""
+    from ..operators.layout_agg import corpus_ap_per_class
+
+    docs = _docs(spark, sf_dir, n_partitions).where(
+        (F.col("doc_id") % 4).isin(list(modes)))
+    partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA).persist()
+    dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
+    gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
+    out = corpus_ap_per_class(dets, gts).persist()
+    out.count()
+    partials.unpersist()
+    return out
+
+
 def corpus_map(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
                modes: tuple[int, ...] = (0, 1),
                materialize: bool = True) -> DataFrame:
