@@ -280,6 +280,90 @@ def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "idx")
 
 
+def _q_doclaynet_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocLayNet/COCO-style layout builder (reference doclaynet_v1_builder
+    .py:180-360): string labels through the fixed map (unknown -> text),
+    COCO ltwh -> ltrb, charspan (0, len(content)). Fixture JSON is built
+    natively; label index 11 is deliberately unknown to exercise the
+    default."""
+    from docling_eval_spark.sources.gt_builder import (
+        DOCLAYNET_LABELS,
+        doclaynet_spans,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 300)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    k = (F.col("doc_id") % 4 + 2).cast("int")
+    lab_pool = F.array(*([F.lit(s) for s in DOCLAYNET_LABELS]
+                         + [F.lit("not_a_label")]))
+    seq = F.sequence(F.lit(0), k - 1)
+    anno = F.to_json(F.struct(
+        F.lit(612.0).alias("page_width"), F.lit(792.0).alias("page_height"),
+        F.transform(seq, lambda j: F.element_at(
+            lab_pool, ((F.col("doc_id") + j) % 12 + 1).cast("int")))
+        .alias("labels"),
+        F.transform(seq, lambda j: F.array(
+            F.lit(5.0) + j * 2, F.lit(7.0) + j * 3, F.lit(20.0), F.lit(10.0)))
+        .alias("bboxes"),
+        F.transform(seq, lambda j: F.concat(
+            F.lit("seg "), F.col("doc_id").cast("string"), F.lit(" "),
+            j.cast("string"))).alias("contents"),
+    ))
+    fixture = docs.select("doc_id", anno.alias("anno"))
+    return doclaynet_spans(fixture).orderBy("doc_id", "idx")
+
+
+def _q_funsd_kv_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNSD-style form KV builder (reference funsd_builder.py:205-320 +
+    utils.py:536-587 classify_cells): chain-linked form items classify to
+    KEY/.../VALUE with the degree rules; an unlinked 'other' item is
+    omitted like the reference. Fixture JSON built natively."""
+    from docling_eval_spark.sources.gt_builder import funsd_kv_cells
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 300)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    k = (F.col("doc_id") % 3 + 3).cast("int")
+    word = F.struct(F.lit("w").alias("text"),
+                    F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0))
+                    .alias("box"))
+
+    def item(j):
+        return F.struct(
+            j.cast("int").alias("id"),
+            F.concat(F.lit("cell "), F.col("doc_id").cast("string"),
+                     F.lit(" "), j.cast("string")).alias("text"),
+            F.when(j == k - 1, F.lit("answer")).otherwise(F.lit("question"))
+            .alias("label"),
+            F.array(j * 10.0, F.lit(20.0), j * 10.0 + 8, F.lit(30.0))
+            .alias("box"),
+            F.when(j < k - 1,
+                   F.array(F.array(j.cast("int"), (j + 1).cast("int"))))
+            .otherwise(F.array().cast("array<array<int>>")).alias("linking"),
+            F.array(word, word).alias("words"),
+        )
+
+    skipped = F.struct(
+        k.alias("id"), F.lit("skipped").alias("text"),
+        F.lit("other").alias("label"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0)).alias("box"),
+        F.array().cast("array<array<int>>").alias("linking"),
+        F.array(word).alias("words"),
+    )
+    anno = F.to_json(F.struct(F.concat(
+        F.transform(F.sequence(F.lit(0), k - 1), item),
+        F.array(skipped)).alias("form")))
+    fixture = docs.select("doc_id", anno.alias("anno"))
+    return funsd_kv_cells(fixture).select(
+        "doc_id", "cell_id", "text", "l", "t", "r", "b", "n_words", "label"
+    ).orderBy("doc_id", "cell_id")
+
+
 def _q_layout_class_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class corpus AP (consolidator.py:214-217 class_<label>
     columns): title is never perturbed in modes {0,1} (AP 1.0); text
@@ -1038,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "doclaynet_layout_spans": _q_doclaynet_layout_spans,
+        "funsd_kv_labels": _q_funsd_kv_labels,
         "layout_class_ap": _q_layout_class_ap,
         "cvat_roundtrip_spans": _q_cvat_roundtrip_spans,
         "multi_prov_guard": _q_multi_prov_guard,
@@ -1208,6 +1294,38 @@ def oracle_sql() -> dict[str, str]:
             "cast(10 + 10*k AS int) AS b, "
             "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
             "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "doclaynet_layout_spans": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents "
+            "WHERE doc_id < 300), "
+            "e AS (SELECT doc_id, j, (doc_id + j) % 12 AS li "
+            "FROM d, unnest(range(0, k)) AS u(j)) "
+            "SELECT doc_id, cast(j AS int) AS idx, "
+            "CASE li WHEN 0 THEN 'caption' WHEN 1 THEN 'footnote' "
+            "WHEN 2 THEN 'formula' WHEN 3 THEN 'list_item' "
+            "WHEN 4 THEN 'page_footer' WHEN 5 THEN 'page_header' "
+            "WHEN 6 THEN 'picture' WHEN 7 THEN 'section_header' "
+            "WHEN 8 THEN 'table' WHEN 9 THEN 'text' WHEN 10 THEN 'title' "
+            "ELSE 'text' END AS label, "
+            "round(5.0 + j * 2, 6) AS l, round(7.0 + j * 3, 6) AS t, "
+            "round(25.0 + j * 2, 6) AS r, round(17.0 + j * 3, 6) AS b, "
+            "'seg ' || doc_id || ' ' || j AS text, "
+            "cast(strlen('seg ' || doc_id || ' ' || j) AS int) "
+            "AS charspan_end "
+            "FROM e ORDER BY doc_id, idx"
+        ),
+        "funsd_kv_labels": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 + 3 AS k FROM documents "
+            "WHERE doc_id < 300) "
+            "SELECT doc_id, cast(j AS int) AS cell_id, "
+            "'cell ' || doc_id || ' ' || j AS text, "
+            "cast(j * 10 AS double) AS l, 20.0 AS t, "
+            "cast(j * 10 + 8 AS double) AS r, 30.0 AS b, "
+            "2 AS n_words, "
+            "CASE WHEN j = k - 1 THEN 'VALUE' "
+            "WHEN j = 0 OR j = k - 2 THEN 'KEY' "
+            "ELSE 'UNSPECIFIED' END AS label "
+            "FROM d, unnest(range(0, k)) AS u(j) ORDER BY doc_id, cell_id"
         ),
         "layout_class_ap": (
             "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n, doc_id % 4 AS m "

@@ -190,6 +190,119 @@ def fixture_annotations(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     return docs.select(key, anno.alias("anno"))
 
 
+# -- DocLayNet/COCO-style layout builder --------------------------------------
+
+# doclaynet_v1_builder.py:199-213 label map; unknown labels default to text
+DOCLAYNET_LABELS = [
+    "caption", "footnote", "formula", "list_item", "page_footer",
+    "page_header", "picture", "section_header", "table", "text", "title",
+]
+
+DOCLAYNET_ROW_SCHEMA = (
+    "struct<page_width:double,page_height:double,"
+    "labels:array<string>,bboxes:array<array<double>>,"
+    "contents:array<string>>"
+)
+
+
+def doclaynet_spans(df: DataFrame, key: str = "doc_id",
+                    anno_col: str = "anno") -> DataFrame:
+    """DocLayNet-style COCO layout rows -> span rows.
+
+    Mirrors doclaynet_v1_builder.py:180-360: per-element string label
+    mapped through the fixed table (unknown -> text), COCO [l, t, w, h]
+    bbox converted to l/t/r/b, charspan (0, len(content)). Fully native:
+    from_json + posexplode over zipped arrays; no Python stage at all."""
+    parsed = df.select(key, F.from_json(F.col(anno_col),
+                                        DOCLAYNET_ROW_SCHEMA).alias("a"))
+    el = parsed.select(
+        key,
+        F.posexplode(F.arrays_zip(
+            F.col("a.labels").alias("label"),
+            F.col("a.bboxes").alias("box"),
+            F.col("a.contents").alias("content"),
+        )).alias("idx", "e"),
+    )
+    known = F.array(*[F.lit(s) for s in DOCLAYNET_LABELS])
+    label = F.when(F.array_contains(known, F.col("e.label")), F.col("e.label")) \
+        .otherwise(F.lit("text"))
+    box = F.col("e.box")
+    return el.select(
+        key, "idx", label.alias("label"),
+        F.round(box[0], 6).alias("l"),
+        F.round(box[1], 6).alias("t"),
+        F.round(box[0] + box[2], 6).alias("r"),
+        F.round(box[1] + box[3], 6).alias("b"),
+        F.col("e.content").alias("text"),
+        F.length("e.content").alias("charspan_end"),
+    )
+
+
+# -- FUNSD/XFUND-style form KV builder ----------------------------------------
+
+FUNSD_ROW_SCHEMA = (
+    "struct<form:array<struct<id:int,text:string,label:string,"
+    "box:array<double>,linking:array<array<int>>,"
+    "words:array<struct<text:string,box:array<double>>>>>>"
+)
+
+
+def funsd_kv_cells(df: DataFrame, key: str = "doc_id",
+                   anno_col: str = "anno") -> DataFrame:
+    """FUNSD/XFUND-style form annotations -> classified KV graph cells.
+
+    Mirrors funsd_builder.py:205-320: items with no linking whose label
+    is header/other are omitted; links are the unique (src, tgt) pairs
+    whose BOTH endpoints survive; final cell labels come from the
+    degree-rule classifier (utils.py:536-587 classify_cells — here the
+    native higher-order implementation in functions/kv_graph.py). Word
+    cells surface as a per-cell count (the segmented-page word stream).
+    Everything is JVM-side column work; the per-doc graph classify runs
+    over collected-per-doc arrays (form graphs are tiny by nature)."""
+    from ..functions.kv_graph import classify_kv_cells
+
+    parsed = df.select(key, F.from_json(F.col(anno_col),
+                                        FUNSD_ROW_SCHEMA).alias("a"))
+    items = parsed.select(key, F.explode("a.form").alias("e")).where(
+        ~((F.size(F.coalesce(F.col("e.linking"),
+                             F.array().cast("array<array<int>>"))) == 0)
+          & F.coalesce(F.col("e.label"), F.lit("other"))
+          .isin("header", "other"))
+    )
+    cells = items.select(
+        key,
+        F.col("e.id").alias("cell_id"),
+        F.col("e.text").alias("text"),
+        F.round(F.col("e.box")[0], 6).alias("l"),
+        F.round(F.col("e.box")[1], 6).alias("t"),
+        F.round(F.col("e.box")[2], 6).alias("r"),
+        F.round(F.col("e.box")[3], 6).alias("b"),
+        F.size(F.coalesce(F.col("e.words"),
+                          F.array().cast(
+                              "array<struct<text:string,box:array<double>>>")))
+        .alias("n_words"),
+        F.coalesce(F.col("e.linking"), F.array().cast("array<array<int>>"))
+        .alias("_linking"),
+    )
+    per_doc = cells.groupBy(key).agg(
+        F.sort_array(F.collect_list("cell_id")).alias("_cells"),
+        F.array_distinct(F.flatten(F.collect_list("_linking"))).alias("_pairs"),
+    )
+    # keep only links with both endpoints surviving (funsd_builder.py:293-298)
+    links = F.filter(
+        F.transform(F.col("_pairs"), lambda p: F.struct(
+            p[0].cast("int").alias("src"), p[1].cast("int").alias("tgt"))),
+        lambda l: F.array_contains(F.col("_cells"), l["src"])
+        & F.array_contains(F.col("_cells"), l["tgt"]),
+    )
+    labeled = per_doc.select(
+        key,
+        F.explode(classify_kv_cells(F.col("_cells"), links)).alias("c"),
+    ).select(key, F.col("c.cell_id").alias("cell_id"),
+             F.col("c.label").alias("label"))
+    return cells.drop("_linking").join(labeled, on=[key, "cell_id"])
+
+
 # -- OTSL/HTML table dataset builder ------------------------------------------
 
 TABLE_RECORD_SCHEMA = (

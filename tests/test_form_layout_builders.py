@@ -1,0 +1,66 @@
+"""DocLayNet/COCO-style and FUNSD-style GT builders
+(reference doclaynet_v1_builder.py:180-360, funsd_builder.py:205-320)."""
+
+import json
+
+
+def test_doclaynet_spans_ltwh_and_default_label(spark):
+    from docling_eval_spark.sources.gt_builder import doclaynet_spans
+
+    anno = json.dumps({
+        "page_width": 100.0, "page_height": 200.0,
+        "labels": ["title", "Weird-Label", "table"],
+        "bboxes": [[10, 20, 30, 40], [0, 0, 5, 5], [1, 2, 3, 4]],
+        "contents": ["A Title", "mystery", "cells"],
+    })
+    df = spark.createDataFrame([(1, anno)], "doc_id bigint, anno string")
+    rows = {r["idx"]: r for r in doclaynet_spans(df).collect()}
+    assert rows[0]["label"] == "title"
+    assert (rows[0]["l"], rows[0]["t"], rows[0]["r"], rows[0]["b"]) == \
+        (10.0, 20.0, 40.0, 60.0)  # ltwh -> ltrb
+    assert rows[1]["label"] == "text"  # unknown label defaults (ref :214)
+    assert rows[2]["charspan_end"] == len("cells")
+
+
+def test_funsd_kv_cells_real_shape(spark):
+    """Fixture shaped like an actual FUNSD form entry: a question->answer
+    pair, an unlinked header (dropped), an unlinked 'question' (kept,
+    classifies as VALUE: no out-links)."""
+    from docling_eval_spark.sources.gt_builder import funsd_kv_cells
+
+    anno = json.dumps({"form": [
+        {"id": 0, "text": "NAME:", "label": "question",
+         "box": [10, 10, 60, 20], "linking": [[0, 1]],
+         "words": [{"text": "NAME:", "box": [10, 10, 60, 20]}]},
+        {"id": 1, "text": "John Smith", "label": "answer",
+         "box": [70, 10, 140, 20], "linking": [[0, 1]],
+         "words": [{"text": "John", "box": [70, 10, 100, 20]},
+                   {"text": "Smith", "box": [105, 10, 140, 20]}]},
+        {"id": 2, "text": "FORM 1040", "label": "header",
+         "box": [0, 0, 50, 8], "linking": [],
+         "words": [{"text": "FORM", "box": [0, 0, 25, 8]}]},
+        {"id": 3, "text": "lonely question", "label": "question",
+         "box": [10, 30, 90, 40], "linking": [],
+         "words": []},
+    ]})
+    df = spark.createDataFrame([(9, anno)], "doc_id bigint, anno string")
+    rows = {r["cell_id"]: r for r in funsd_kv_cells(df).collect()}
+    assert set(rows) == {0, 1, 3}  # header dropped (ref :216-222)
+    assert rows[0]["label"] == "KEY" and rows[1]["label"] == "VALUE"
+    assert rows[3]["label"] == "VALUE"  # out-degree 0 leaf rule
+    assert rows[1]["n_words"] == 2
+    assert (rows[1]["l"], rows[1]["r"]) == (70.0, 140.0)
+
+
+def test_funsd_dangling_link_dropped(spark):
+    """Links referencing an omitted cell are discarded (ref :293-298)."""
+    from docling_eval_spark.sources.gt_builder import funsd_kv_cells
+
+    anno = json.dumps({"form": [
+        {"id": 0, "text": "q", "label": "question",
+         "box": [0, 0, 1, 1], "linking": [[0, 7]], "words": []},
+    ]})
+    df = spark.createDataFrame([(1, anno)], "doc_id bigint, anno string")
+    rows = funsd_kv_cells(df).collect()
+    # only cell 0 exists; its dangling link vanished -> out-degree 0 -> VALUE
+    assert [(r["cell_id"], r["label"]) for r in rows] == [(0, "VALUE")]
