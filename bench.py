@@ -46,12 +46,16 @@ def main() -> None:
     def timed(fn, runs: int = 2) -> tuple[float, object]:
         """Steady-state timing: best of `runs` (first run pays one-time
         codegen/broadcast/Python-worker costs that a long-lived cluster
-        job amortizes away)."""
+        job amortizes away). Caller-owned persisted results (near_dedup,
+        corpus_map, minhash pairs) are released between runs so the 18-
+        query sequence measures each query cold-cache, not under the
+        accumulated storage of every previous query."""
         best, result = float("inf"), None
         for _ in range(runs):
             t0 = time.perf_counter()
             result = fn()
             best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
         return best, result
 
     t_flagship, summary = timed(
