@@ -414,6 +414,8 @@ def _q_cvat_roundtrip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
     )
     xmls = docs.mapInPandas(xmlgen, schema="doc_id bigint, xml string")
+    # output carries the per-page `image` name (real exports are
+    # multi-image); the fixture writes one page per doc, <doc_id>.png
     return cvat_annotation_spans(xmls).orderBy("doc_id", "idx")
 
 
@@ -1338,7 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "cvat_roundtrip_spans": (
             "WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents "
             "WHERE doc_id < 100) "
-            "SELECT doc_id, cast(k AS int) AS idx, "
+            "SELECT doc_id, doc_id || '.png' AS image, cast(k AS int) AS idx, "
             "CASE WHEN k = 0 THEN 'title' ELSE 'text' END AS label, "
             "10.0 AS l, cast(2 + 10*k AS double) AS t, 30.0 AS r, "
             "cast(10 + 10*k AS double) AS b "

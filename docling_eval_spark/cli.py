@@ -85,7 +85,7 @@ def cmd_evaluate(args) -> None:
         scored = spark.read.parquet(args.input)
         roll = flagship_rollup(scored).collect()[0].asDict()
     elif m == "layout":
-        from .plans.layout_eval import corpus_map, per_image_metrics
+        from .plans.layout_eval import per_image_metrics
 
         from pyspark.sql import functions as F
 
@@ -95,12 +95,14 @@ def cmd_evaluate(args) -> None:
             F.round(F.avg("map"), 6).alias("mean_map"),
             F.round(F.avg("mask_f1"), 6).alias("mean_mask_f1"),
         ).collect()[0].asDict()
-        roll.update(corpus_map(spark, args.from_documents).collect()[0].asDict())
-        from .plans.layout_eval import corpus_class_ap
+        from .plans.layout_eval import layout_rollups
 
-        # consolidator.py:214-217 class_<label> columns
+        # one COCO-matching pass feeds both the corpus mAP row and the
+        # consolidator's class_<label> columns (consolidator.py:214-217)
+        rolls = layout_rollups(spark, args.from_documents)
+        roll.update(rolls["map"].collect()[0].asDict())
         roll.update({f"class_{r['label']}": r["ap"]
-                     for r in corpus_class_ap(spark, args.from_documents).collect()})
+                     for r in rolls["class_ap"].collect()})
     elif m == "reading_order":
         from .plans.reading_order_eval import reading_order_rollup, reading_order_scores
 

@@ -113,16 +113,31 @@ def _partial_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def corpus_class_ap(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
                     modes: tuple[int, ...] = (0, 1)) -> DataFrame:
     """Per-class corpus AP (the consolidator's class_<label> columns) —
-    same persisted single-pass partials as corpus_map, different final."""
-    from ..operators.layout_agg import corpus_ap_per_class
+    the same single-pass persisted-partials PATTERN as corpus_map, with
+    the per-class final. Needing BOTH rollups? Use layout_rollups, which
+    computes them from ONE matching pass."""
+    return layout_rollups(spark, sf_dir, n_partitions, modes)["class_ap"]
+
+
+def layout_rollups(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
+                   modes: tuple[int, ...] = (0, 1)) -> dict[str, DataFrame]:
+    """{'map': (map, map_50, map_75) row, 'class_ap': per-class rows} —
+    BOTH finals derived from one persisted execution of the expensive
+    per-doc COCO-matching stage (the partials subtree runs once; both
+    tiny results are materialized before the cache is released)."""
+    from ..operators.layout_agg import corpus_ap_per_class, corpus_map_from_partials
 
     docs = _docs(spark, sf_dir, n_partitions).where(
         (F.col("doc_id") % 4).isin(list(modes)))
     partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA).persist()
     dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
     gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
-    out = corpus_ap_per_class(dets, gts).persist()
-    out.count()
+    out = {
+        "map": corpus_map_from_partials(dets, gts).persist(),
+        "class_ap": corpus_ap_per_class(dets, gts).persist(),
+    }
+    for df in out.values():
+        df.count()
     partials.unpersist()
     return out
 

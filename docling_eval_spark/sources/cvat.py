@@ -24,8 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CVAT_SPAN_SCHEMA = (
-    "doc_id bigint, idx int, label string, l double, t double, "
+CVAT_SPAN_FIELDS = (
+    "image string, idx int, label string, l double, t double, "
     "r double, b double"
 )
 
@@ -72,50 +72,65 @@ def _find_box(boxes: list[dict], point: tuple[float, float]) -> int:
     return -1
 
 
-def parse_cvat_image(xml_s: str) -> list[dict]:
-    """One CVAT annotation XML -> boxes in ANNOTATED READING ORDER:
-    [{label, l, t, r, b}]. Boxes not on the polyline keep document order
-    after the ordered ones; images without a reading_order polyline
-    yield document order (the reference skips images with neither boxes
-    nor polylines — an empty list here)."""
+def parse_cvat_images(xml_s: str) -> list[tuple[str, list[dict]]]:
+    """CVAT annotation XML -> [(image_name, boxes in ANNOTATED READING
+    ORDER)] for EVERY <image> element — a real task export carries all
+    annotated pages in one document. Per image: boxes not on the
+    polyline keep document order after the ordered ones; images without
+    a reading_order polyline yield document order (the reference skips
+    images with neither boxes nor polylines — an empty box list here)."""
     root = ET.fromstring(xml_s)
-    img = root.find("image")
-    if img is None:
-        return []
-    boxes = [{
-        "label": bx.get("label"),
-        "l": float(bx.get("xtl")), "t": float(bx.get("ytl")),
-        "r": float(bx.get("xbr")), "b": float(bx.get("ybr")),
-    } for bx in img.findall("box")]
-    order: list[int] = []
-    for pl in img.findall("polyline"):
-        if pl.get("label") != "reading_order":
-            continue
-        for point_str in (pl.get("points") or "").split(";"):
-            coords = point_str.split(",")
-            if len(coords) == 2:
-                i = _find_box(boxes, (float(coords[0]), float(coords[1])))
-                if i >= 0 and i not in order:
-                    order.append(i)
-    order += [i for i in range(len(boxes)) if i not in order]
-    return [boxes[i] for i in order]
+    out = []
+    for img in root.iter("image"):
+        boxes = [{
+            "label": bx.get("label"),
+            "l": float(bx.get("xtl")), "t": float(bx.get("ytl")),
+            "r": float(bx.get("xbr")), "b": float(bx.get("ybr")),
+        } for bx in img.findall("box")]
+        order: list[int] = []
+        for pl in img.findall("polyline"):
+            if pl.get("label") != "reading_order":
+                continue
+            for point_str in (pl.get("points") or "").split(";"):
+                coords = point_str.split(",")
+                if len(coords) == 2:
+                    i = _find_box(boxes, (float(coords[0]), float(coords[1])))
+                    if i >= 0 and i not in order:
+                        order.append(i)
+        order += [i for i in range(len(boxes)) if i not in order]
+        out.append((img.get("name") or "", [boxes[i] for i in order]))
+    return out
+
+
+def parse_cvat_image(xml_s: str) -> list[dict]:
+    """Single-image convenience wrapper: ordered boxes of the FIRST
+    <image> (empty list if none)."""
+    images = parse_cvat_images(xml_s)
+    return images[0][1] if images else []
 
 
 def _cvat_span_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = []
-        for doc_id, xml_s in zip(pdf["doc_id"], pdf["xml"]):
-            for idx, bx in enumerate(parse_cvat_image(xml_s)):
-                rows.append((int(doc_id), idx, bx["label"],
-                             bx["l"], bx["t"], bx["r"], bx["b"]))
+        for key_val, xml_s in zip(pdf["_key"], pdf["xml"]):
+            for name, boxes in parse_cvat_images(xml_s):
+                for idx, bx in enumerate(boxes):
+                    rows.append((key_val, name, idx, bx["label"],
+                                 bx["l"], bx["t"], bx["r"], bx["b"]))
         yield pd.DataFrame(rows, columns=[
-            "doc_id", "idx", "label", "l", "t", "r", "b"])
+            "_key", "image", "idx", "label", "l", "t", "r", "b"])
 
 
 def cvat_annotation_spans(df: DataFrame, xml_col: str = "xml",
                           key: str = "doc_id") -> DataFrame:
-    """(doc_id, xml) annotation rows -> span rows in annotated reading
-    order — the reader half of the CVAT loop, Arrow-batched."""
-    return df.select(F.col(key).alias("doc_id"),
+    """(key, xml) annotation rows -> span rows in annotated reading
+    order — the reader half of the CVAT loop, Arrow-batched. Every
+    <image> in a row's XML is parsed (real task exports are
+    multi-image); the `image` column carries the per-page name. The key
+    column keeps its input type (bigint doc ids or string task ids)."""
+    ktype = dict(df.dtypes)[key]
+    return df.select(F.col(key).alias("_key"),
                      F.col(xml_col).alias("xml")) \
-        .mapInPandas(_cvat_span_batches, schema=CVAT_SPAN_SCHEMA)
+        .mapInPandas(_cvat_span_batches,
+                     schema=f"_key {ktype}, {CVAT_SPAN_FIELDS}") \
+        .withColumnRenamed("_key", key)

@@ -59,5 +59,32 @@ def test_spark_annotation_spans(spark):
     xml_s = to_cvat_xml([(1, 2, 3, 4)], ["text"], "p.png")
     df = spark.createDataFrame([(7, xml_s)], "doc_id bigint, xml string")
     rows = cvat_annotation_spans(df).collect()
-    assert [(r["doc_id"], r["idx"], r["label"], r["l"], r["b"])
-            for r in rows] == [(7, 0, "text", 1.0, 4.0)]
+    assert [(r["doc_id"], r["image"], r["idx"], r["label"], r["l"], r["b"])
+            for r in rows] == [(7, "p.png", 0, "text", 1.0, 4.0)]
+
+
+def test_multi_image_export_and_string_keys(spark):
+    """A real task export carries EVERY page in one XML; string task ids
+    must survive (no bigint hardcoding)."""
+    import xml.etree.ElementTree as ET
+
+    from docling_eval_spark.sources.cvat import (
+        cvat_annotation_spans,
+        parse_cvat_images,
+        to_cvat_xml,
+    )
+
+    one = to_cvat_xml([(0, 0, 5, 5)], ["a"], "p1.png")
+    two = to_cvat_xml([(10, 0, 15, 5)], ["b"], "p2.png")
+    # merge the two <image> elements under one <annotations> root
+    r1, r2 = ET.fromstring(one), ET.fromstring(two)
+    r1.append(r2.find("image"))
+    merged = ET.tostring(r1, encoding="unicode")
+    assert [n for n, _ in parse_cvat_images(merged)] == ["p1.png", "p2.png"]
+
+    df = spark.createDataFrame([("task-9", merged)],
+                               "task_id string, xml string")
+    rows = cvat_annotation_spans(df, key="task_id") \
+        .orderBy("image").collect()
+    assert [(r["task_id"], r["image"], r["label"]) for r in rows] == \
+        [("task-9", "p1.png", "a"), ("task-9", "p2.png", "b")]
