@@ -280,6 +280,91 @@ def _q_doctags_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "idx")
 
 
+def _docvqa_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, anno) DocVQA-shaped QA JSON built natively: k=doc_id%3+1
+    questions, each with a primary and an alt answer."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 300)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    k = (F.col("doc_id") % 3 + 1).cast("int")
+    did = F.col("doc_id").cast("string")
+
+    def qa(i):
+        return F.struct(
+            F.concat(F.lit("q "), did, F.lit(" "), i.cast("string"),
+                     F.lit("?")).alias("question"),
+            F.array(
+                F.concat(F.lit("ans "), did, F.lit(" "), i.cast("string"),
+                         F.lit(" primary")),
+                F.concat(F.lit("alt "), did, F.lit(" "), i.cast("string")),
+            ).alias("answers"),
+        )
+
+    anno = F.to_json(F.struct(
+        F.transform(F.sequence(F.lit(0), k - 1), qa).alias("qa")))
+    return docs.select("doc_id", anno.alias("anno"))
+
+
+def _q_docvqa_kv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocVQA-style QA builder (reference docvqa_builder.py:104-145):
+    question KEY cells at running indices, answer VALUE cells following,
+    out-degree n_answers/1 from the bidirectional link pairs. With two
+    answers per question the running index is closed-form 3i/3i+1/3i+2."""
+    from docling_eval_spark.sources.gt_builder import docvqa_kv_cells
+
+    return docvqa_kv_cells(_docvqa_fixture(spark, sf_dir)) \
+        .orderBy("doc_id", "cell_id")
+
+
+def _q_docvqa_anls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANLS scoring (Biten et al. 2019, the DocVQA protocol) over
+    deterministic predictions: mode (doc_id+i)%3 = exact primary answer /
+    one appended char (similarity 1 - 1/(L+1)) / empty (score 0). The
+    real Levenshtein kernel runs in an Arrow batch; the oracle is the
+    closed form."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.gt_builder import docvqa_kv_cells
+
+    cells = docvqa_kv_cells(_docvqa_fixture(spark, sf_dir))
+    qa = (
+        cells.groupBy("doc_id", "qa_idx")
+        .agg(F.sort_array(F.collect_list(
+            F.when(F.col("label") == "VALUE", F.col("text")))).alias("answers"))
+    )
+    preds = qa.select(
+        "doc_id", "qa_idx", "answers",
+        F.when((F.col("doc_id") + F.col("qa_idx")) % 3 == 0,
+               F.concat(F.lit("ans "), F.col("doc_id").cast("string"),
+                        F.lit(" "), F.col("qa_idx").cast("string"),
+                        F.lit(" primary")))
+        .when((F.col("doc_id") + F.col("qa_idx")) % 3 == 1,
+              F.concat(F.lit("ans "), F.col("doc_id").cast("string"),
+                       F.lit(" "), F.col("qa_idx").cast("string"),
+                       F.lit(" primaryX")))
+        .otherwise(F.lit("")).alias("pred"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.functions.text_metrics import anls
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "qa_idx": pdf["qa_idx"],
+                "anls": [round(anls(p, [a for a in answers if a is not None]), 6)
+                         for p, answers in zip(pdf["pred"], pdf["answers"])],
+            })
+
+    return preds.mapInPandas(
+        gen, schema="doc_id bigint, qa_idx int, anls double"
+    ).orderBy("doc_id", "qa_idx")
+
+
 def _q_doclaynet_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocLayNet/COCO-style layout builder (reference doclaynet_v1_builder
     .py:180-360): string labels through the fixed map (unknown -> text),
@@ -1124,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "docvqa_kv_cells": _q_docvqa_kv_cells,
+        "docvqa_anls": _q_docvqa_anls,
         "doclaynet_layout_spans": _q_doclaynet_layout_spans,
         "funsd_kv_labels": _q_funsd_kv_labels,
         "layout_class_ap": _q_layout_class_ap,
@@ -1296,6 +1383,31 @@ def oracle_sql() -> dict[str, str]:
             "cast(10 + 10*k AS int) AS b, "
             "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
             "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "docvqa_kv_cells": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "
+            "WHERE doc_id < 300), "
+            "q AS (SELECT doc_id, i FROM d, unnest(range(0, k)) AS u(i)) "
+            "SELECT doc_id, cast(3*i + r AS int) AS cell_id, "
+            "cast(i AS int) AS qa_idx, "
+            "CASE WHEN r = 0 THEN 'KEY' ELSE 'VALUE' END AS label, "
+            "CASE r WHEN 0 THEN 'q ' || doc_id || ' ' || i || '?' "
+            "WHEN 1 THEN 'ans ' || doc_id || ' ' || i || ' primary' "
+            "ELSE 'alt ' || doc_id || ' ' || i END AS text, "
+            "CASE WHEN r = 0 THEN 2 ELSE 1 END AS n_out "
+            "FROM q, unnest(range(0, 3)) AS v(r) ORDER BY doc_id, cell_id"
+        ),
+        "docvqa_anls": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "
+            "WHERE doc_id < 300), "
+            "q AS (SELECT doc_id, i, (doc_id + i) % 3 AS m, "
+            "strlen('ans ' || doc_id || ' ' || i || ' primary') AS L "
+            "FROM d, unnest(range(0, k)) AS u(i)) "
+            "SELECT doc_id, cast(i AS int) AS qa_idx, "
+            "CASE WHEN m = 0 THEN 1.0 "
+            "WHEN m = 1 THEN round(1.0 - 1.0/(L + 1), 6) "
+            "ELSE 0.0 END AS anls "
+            "FROM q ORDER BY doc_id, qa_idx"
         ),
         "doclaynet_layout_spans": (
             "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents "

@@ -212,6 +212,26 @@ def meteor_score(pred_tokens: Sequence[str], true_tokens: Sequence[str],
     return fmean * (1.0 - penalty)
 
 
+def anls(pred: str, answers: Sequence[str], tau: float = 0.5) -> float:
+    """Normalized Levenshtein Similarity for one question (ANLS, Biten et
+    al. 2019 — the ST-VQA/DocVQA protocol the reference's DocVQA
+    benchmark targets): 1 - lev(pred, a)/max(len) maximized over the
+    gold answers, zeroed below the tau threshold. Inputs are lowercased
+    and whitespace-normalized like the published evaluator."""
+    p = " ".join(pred.strip().lower().split())
+    best = 0.0
+    for a in answers:
+        g = " ".join(a.strip().lower().split())
+        if not p and not g:
+            s = 1.0
+        elif not p or not g:
+            s = 0.0
+        else:
+            s = 1.0 - levenshtein(p, g) / max(len(p), len(g))
+        best = max(best, s)
+    return best if best >= tau else 0.0
+
+
 def cer(pred_text: str, true_text: str) -> float:
     """Character error rate: edit_distance(chars)/len(true); 1.0 when pred
     empty and true non-empty; 0.0 when both empty.

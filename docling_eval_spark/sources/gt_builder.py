@@ -303,6 +303,55 @@ def funsd_kv_cells(df: DataFrame, key: str = "doc_id",
     return cells.drop("_linking").join(labeled, on=[key, "cell_id"])
 
 
+# -- DocVQA-style QA builder --------------------------------------------------
+
+DOCVQA_ROW_SCHEMA = (
+    "struct<qa:array<struct<question:string,answers:array<string>>>>"
+)
+
+
+def docvqa_kv_cells(df: DataFrame, key: str = "doc_id",
+                    anno_col: str = "anno") -> DataFrame:
+    """DocVQA-style QA annotations -> KV graph cells with the reference's
+    running-index scheme (docvqa_builder.py:104-145): each question is a
+    KEY cell at the running index, its answers follow as VALUE cells,
+    and every answer carries a bidirectional TO_VALUE/TO_KEY link pair —
+    surfaced here as out-degree (question: n_answers, answer: 1). Fully
+    native: per-qa start offsets come from an aggregate over the sliced
+    sizes array; no Python stage."""
+    parsed = df.select(key, F.from_json(F.col(anno_col),
+                                        DOCVQA_ROW_SCHEMA).alias("a"))
+    qa = F.col("a.qa")
+    sizes = F.transform(qa, lambda q: F.size(q["answers"]) + 1)
+
+    def entry(q, i):
+        start = F.aggregate(F.slice(sizes, 1, i), F.lit(0),
+                            lambda acc, x: acc + x)
+        question = F.array(F.struct(
+            start.cast("int").alias("cell_id"),
+            i.cast("int").alias("qa_idx"),
+            F.lit("KEY").alias("label"),
+            q["question"].alias("text"),
+            F.size(q["answers"]).alias("n_out"),
+        ))
+        answers = F.transform(q["answers"], lambda a, j: F.struct(
+            (start + 1 + j).cast("int").alias("cell_id"),
+            i.cast("int").alias("qa_idx"),
+            F.lit("VALUE").alias("label"),
+            a.alias("text"),
+            F.lit(1).alias("n_out"),
+        ))
+        return F.concat(question, answers)
+
+    cells = parsed.select(
+        key, F.explode(F.flatten(F.transform(qa, entry))).alias("c"))
+    return cells.select(
+        key, F.col("c.cell_id").alias("cell_id"),
+        F.col("c.qa_idx").alias("qa_idx"),
+        F.col("c.label").alias("label"), F.col("c.text").alias("text"),
+        F.col("c.n_out").alias("n_out"))
+
+
 # -- OTSL/HTML table dataset builder ------------------------------------------
 
 TABLE_RECORD_SCHEMA = (
