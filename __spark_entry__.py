@@ -307,6 +307,45 @@ def _docvqa_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", anno.alias("anno"))
 
 
+_OMNIDOC_FIXTURE_CATS = [
+    "title", "text_block", "table", "table_caption", "table_footnote",
+    "figure", "figure_caption", "figure_footnote", "equation_isolated",
+    "equation_caption", "text_mask", "weird_cat",
+]
+
+
+def _q_omnidoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OmniDocBench-style builder (reference omnidocbench_builder.py
+    :180-295): bbox from the flat poly list (fixture uses a NON-
+    rectangular 3-point polygon so min/max actually does work),
+    category_type through the branch map, literal omitted-text
+    placeholder."""
+    from docling_eval_spark.sources.gt_builder import omnidocbench_spans
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 300)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    k = (F.col("doc_id") % 4 + 2).cast("int")
+    cats = F.array(*[F.lit(s) for s in _OMNIDOC_FIXTURE_CATS])
+
+    def elem(j):
+        x0 = F.lit(4.0) + j * 5
+        y0 = F.lit(6.0) + j * 4
+        return F.struct(
+            F.element_at(cats, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
+            .alias("category_type"),
+            F.array(x0 + 3, y0, x0 + 10, y0 + 1, x0, y0 + 7).alias("poly"),
+            F.lit("").alias("html"),
+        )
+
+    anno = F.to_json(F.struct(
+        F.transform(F.sequence(F.lit(0), k - 1), elem).alias("elements")))
+    return omnidocbench_spans(docs.select("doc_id", anno.alias("anno"))) \
+        .orderBy("doc_id", "idx")
+
+
 def _q_docvqa_kv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocVQA-style QA builder (reference docvqa_builder.py:104-145):
     question KEY cells at running indices, answer VALUE cells following,
@@ -941,6 +980,30 @@ def _q_timings_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timings_rollup(with_synthetic_timings(docs_table(spark, sf_dir)))
 
 
+def _q_timings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 full DatasetStatistics parity (stats.py:77-97): per-stage
+    total/mean/median/std over the synthetic timing map."""
+    from docling_eval_spark.plans.report import (
+        docs_table,
+        timings_stats,
+        with_synthetic_timings,
+    )
+
+    return timings_stats(with_synthetic_timings(docs_table(spark, sf_dir)))
+
+
+def _q_timings_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The np.histogram half of compute_stats: 20 bins over (0, max) per
+    stage, right edge folded into the last bin, zero bins present."""
+    from docling_eval_spark.plans.report import (
+        docs_table,
+        timings_histogram,
+        with_synthetic_timings,
+    )
+
+    return timings_histogram(with_synthetic_timings(docs_table(spark, sf_dir)))
+
+
 def _q_consolidation_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.plans.report import consolidation_pivot, docs_table
 
@@ -1209,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_text_metrics": _q_bbox_text_metrics,
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
+        "omnidoc_spans": _q_omnidoc_spans,
         "docvqa_kv_cells": _q_docvqa_kv_cells,
         "docvqa_anls": _q_docvqa_anls,
         "doclaynet_layout_spans": _q_doclaynet_layout_spans,
@@ -1238,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
+        "timings_stats": _q_timings_stats,
+        "timings_histogram": _q_timings_histogram,
         "consolidation_pivot": _q_consolidation_pivot,
         "kv_graph_labels": _q_kv_graph_labels,
         "range_slice": _q_range_slice,
@@ -1383,6 +1449,32 @@ def oracle_sql() -> dict[str, str]:
             "cast(10 + 10*k AS int) AS b, "
             "'block ' || (doc_id % 97) || ' ' || k || ' content words' AS text "
             "FROM d, unnest(range(0, n)) AS u(k) ORDER BY doc_id, idx"
+        ),
+        "omnidoc_spans": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS k FROM documents "
+            "WHERE doc_id < 300), "
+            "e AS (SELECT doc_id, j, (doc_id + j) % 12 AS li "
+            "FROM d, unnest(range(0, k)) AS u(j)), "
+            "c AS (SELECT *, CASE li WHEN 0 THEN 'title' "
+            "WHEN 1 THEN 'text_block' WHEN 2 THEN 'table' "
+            "WHEN 3 THEN 'table_caption' WHEN 4 THEN 'table_footnote' "
+            "WHEN 5 THEN 'figure' WHEN 6 THEN 'figure_caption' "
+            "WHEN 7 THEN 'figure_footnote' WHEN 8 THEN 'equation_isolated' "
+            "WHEN 9 THEN 'equation_caption' WHEN 10 THEN 'text_mask' "
+            "ELSE 'weird_cat' END AS cat FROM e) "
+            "SELECT doc_id, cast(j AS int) AS idx, "
+            "CASE li WHEN 0 THEN 'title' WHEN 1 THEN 'text' "
+            "WHEN 2 THEN 'table' WHEN 3 THEN 'caption' "
+            "WHEN 4 THEN 'footnote' WHEN 5 THEN 'picture' "
+            "WHEN 6 THEN 'caption' WHEN 7 THEN 'footnote' "
+            "WHEN 8 THEN 'formula' WHEN 9 THEN 'caption' "
+            "ELSE 'text' END AS label, "
+            "round(4.0 + j * 5, 6) AS l, round(6.0 + j * 4, 6) AS t, "
+            "round(14.0 + j * 5, 6) AS r, round(13.0 + j * 4, 6) AS b, "
+            "'&lt;omitted text for ' || cat || '&gt;' AS text, "
+            "cast(strlen('&lt;omitted text for ' || cat || '&gt;') AS int) "
+            "AS charspan_end "
+            "FROM c ORDER BY doc_id, idx"
         ),
         "docvqa_kv_cells": (
             "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "
@@ -1685,6 +1777,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, s) "
             "SELECT stage, count(*) AS n_docs, round(sum(tot), 6) AS total_sec, "
             "round(avg(tot), 6) AS mean_sec FROM x GROUP BY stage ORDER BY stage"
+        ),
+        "timings_stats": (
+            "WITH s AS (SELECT * FROM (VALUES ('tokenize', 1), ('classify', 2), "
+            "('assemble', 3)) AS t(stage, k)), "
+            "x AS (SELECT stage, 1.5 * ((doc_id * k) % 100) / 100.0 AS tot "
+            "FROM documents, s) "
+            "SELECT stage, count(*) AS total, round(avg(tot), 6) AS mean_sec, "
+            "round(median(tot), 6) AS median_sec, "
+            "round(coalesce(stddev_samp(tot), 0.0), 6) AS std_sec "
+            "FROM x GROUP BY stage ORDER BY stage"
+        ),
+        "timings_histogram": (
+            "WITH s AS (SELECT * FROM (VALUES ('tokenize', 1), ('classify', 2), "
+            "('assemble', 3)) AS t(stage, k)), "
+            "x AS (SELECT stage, 1.5 * ((doc_id * k) % 100) / 100.0 AS tot "
+            "FROM documents, s), "
+            "m AS (SELECT stage, max(tot) AS mx FROM x GROUP BY stage), "
+            "h AS (SELECT x.stage, least(cast(floor(tot / mx * 20) AS int), 19) "
+            "AS bucket, count(*) AS n "
+            "FROM x JOIN m ON x.stage = m.stage GROUP BY 1, 2) "
+            "SELECT g.stage, g.bucket, cast(coalesce(h.n, 0) AS bigint) AS n "
+            "FROM (SELECT stage, cast(b AS int) AS bucket "
+            "FROM (SELECT DISTINCT stage FROM x), unnest(range(0, 20)) AS u(b)) g "
+            "LEFT JOIN h ON g.stage = h.stage AND g.bucket = h.bucket "
+            "ORDER BY g.stage, g.bucket"
         ),
         "consolidation_pivot": (
             "SELECT source, "

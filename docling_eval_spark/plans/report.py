@@ -93,6 +93,64 @@ def timings_rollup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _stage_totals(docs: DataFrame) -> DataFrame:
+    exploded = docs.select(
+        "doc_id", F.explode("prediction_timings").alias("stage", "times")
+    )
+    return exploded.withColumn(
+        "stage_total",
+        F.aggregate("times", F.lit(0.0), lambda acc, x: acc + x),
+    )
+
+
+def timings_stats(docs: DataFrame) -> DataFrame:
+    """A9 at full DatasetStatistics parity (reference stats.py:77-97
+    compute_stats): per-stage total/mean/median/std — median and stddev
+    are exact (Spark's interpolated median matches statistics.median;
+    sample stddev matches statistics.stdev, 0.0 for n<2)."""
+    per_doc = _stage_totals(docs)
+    return (
+        per_doc.groupBy("stage")
+        .agg(
+            F.count("*").alias("total"),
+            F.round(F.avg("stage_total"), 6).alias("mean_sec"),
+            F.round(F.median("stage_total"), 6).alias("median_sec"),
+            F.round(F.coalesce(F.stddev_samp("stage_total"), F.lit(0.0)), 6)
+            .alias("std_sec"),
+        )
+        .orderBy("stage")
+    )
+
+
+def timings_histogram(docs: DataFrame, nr_bins: int = 20) -> DataFrame:
+    """The 20-bin histogram half of compute_stats (np.histogram over
+    (0, max), max_value_is_one=False for timings — stats.py:87-92):
+    bucket = floor(x/max*bins) with the right edge folded into the last
+    bin, all bins present zero-filled. One pass + a per-stage window max;
+    the bin frame is a broadcast literal range."""
+    from pyspark.sql import Window
+
+    per_doc = _stage_totals(docs)
+    w = Window.partitionBy("stage")
+    bucketed = per_doc.withColumn("_mx", F.max("stage_total").over(w)) \
+        .select(
+            "stage",
+            F.least(F.floor(F.col("stage_total") / F.col("_mx") * nr_bins),
+                    F.lit(nr_bins - 1)).cast("int").alias("bucket"),
+        )
+    counts = bucketed.groupBy("stage", "bucket").agg(F.count("*").alias("n"))
+    spark = docs.sparkSession
+    bins = spark.range(nr_bins).select(F.col("id").cast("int").alias("bucket"))
+    stages = counts.select("stage").distinct()
+    return (
+        stages.crossJoin(F.broadcast(bins))
+        .join(counts, on=["stage", "bucket"], how="left")
+        .select("stage", "bucket",
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+        .orderBy("stage", "bucket")
+    )
+
+
 def consolidation_pivot(docs: DataFrame) -> DataFrame:
     """A11: benchmark(source) x modality(lang) count matrix in one pass.
 

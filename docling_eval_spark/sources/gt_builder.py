@@ -303,6 +303,61 @@ def funsd_kv_cells(df: DataFrame, key: str = "doc_id",
     return cells.drop("_linking").join(labeled, on=[key, "cell_id"])
 
 
+# -- OmniDocBench-style builder -----------------------------------------------
+
+# omnidocbench_builder.py:214-295 branch map; every remaining branch
+# (text_mask, table_mask, code_txt, abandon, need_mask, unknowns) is text
+OMNIDOC_LABEL_MAP = {
+    "title": "title",
+    "text_block": "text",
+    "table": "table",
+    "table_caption": "caption",
+    "table_footnote": "footnote",
+    "figure": "picture",
+    "figure_caption": "caption",
+    "figure_footnote": "footnote",
+    "equation_isolated": "formula",
+    "equation_caption": "caption",
+}
+
+OMNIDOC_ROW_SCHEMA = (
+    "struct<elements:array<struct<category_type:string,"
+    "poly:array<double>,html:string>>>"
+)
+
+
+def omnidocbench_spans(df: DataFrame, key: str = "doc_id",
+                       anno_col: str = "anno") -> DataFrame:
+    """OmniDocBench-style annotations -> span rows (reference
+    omnidocbench_builder.py:180-295): bbox = min/max over the flat
+    `poly` [x1, y1, x2, y2, ...] list, `category_type` through the
+    branch-for-branch label map (masks/code/abandon and unknowns ->
+    text), and the reference's literal omitted-text placeholder with
+    charspan (0, len). Fully native — poly min/max via index-aware
+    transforms (array_min/max skip the nulled-out other coordinate)."""
+    parsed = df.select(key, F.from_json(F.col(anno_col),
+                                        OMNIDOC_ROW_SCHEMA).alias("a"))
+    el = parsed.select(key, F.posexplode("a.elements").alias("idx", "e"))
+    poly = F.col("e.poly")
+    xs = F.transform(poly, lambda v, i: F.when(i % 2 == 0, v))
+    ys = F.transform(poly, lambda v, i: F.when(i % 2 == 1, v))
+    label_map = F.create_map(
+        *[F.lit(x) for kv in OMNIDOC_LABEL_MAP.items() for x in kv])
+    text = F.concat(F.lit("&lt;omitted text for "),
+                    F.col("e.category_type"), F.lit("&gt;"))
+    return el.select(
+        key, "idx",
+        F.coalesce(F.element_at(label_map, F.col("e.category_type")),
+                   F.lit("text")).alias("label"),
+        F.round(F.array_min(xs), 6).alias("l"),
+        F.round(F.array_min(ys), 6).alias("t"),
+        F.round(F.array_max(xs), 6).alias("r"),
+        F.round(F.array_max(ys), 6).alias("b"),
+        text.alias("text"),
+        F.length(text).alias("charspan_end"),
+    )
+
+
 # -- DocVQA-style QA builder --------------------------------------------------
 
 DOCVQA_ROW_SCHEMA = (

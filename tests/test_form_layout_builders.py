@@ -64,3 +64,22 @@ def test_funsd_dangling_link_dropped(spark):
     rows = funsd_kv_cells(df).collect()
     # only cell 0 exists; its dangling link vanished -> out-degree 0 -> VALUE
     assert [(r["cell_id"], r["label"]) for r in rows] == [(0, "VALUE")]
+
+
+def test_omnidocbench_poly_bbox_and_labels(spark):
+    from docling_eval_spark.sources.gt_builder import omnidocbench_spans
+
+    anno = json.dumps({"elements": [
+        {"category_type": "equation_isolated",
+         "poly": [50, 10, 80, 12, 45, 30, 60, 8], "html": ""},
+        {"category_type": "something_new", "poly": [0, 0, 2, 2], "html": ""},
+    ]})
+    df = spark.createDataFrame([(3, anno)], "doc_id bigint, anno string")
+    rows = {r["idx"]: r for r in omnidocbench_spans(df).collect()}
+    e = rows[0]
+    assert e["label"] == "formula"
+    # bbox = min/max over ALL poly points, not the first pair
+    assert (e["l"], e["t"], e["r"], e["b"]) == (45.0, 8.0, 80.0, 30.0)
+    assert e["text"] == "&lt;omitted text for equation_isolated&gt;"
+    assert e["charspan_end"] == len(e["text"])
+    assert rows[1]["label"] == "text"  # unknown category falls through
