@@ -346,6 +346,51 @@ def _q_omnidoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "idx")
 
 
+def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pixparse-style OCR GT builder (reference pixparse_builder.py
+    :60-114): zipped text/bbox/score lists per page -> segmented-page
+    map, exploded to (doc_id, page_no, cell_id, text, l, t, r, b,
+    score) rows. Fixture: k=doc_id%3+1 pages with j+2 cells each, ltwh
+    boxes — all closed-form."""
+    from docling_eval_spark.sources.gt_builder import pixparse_segmented_pages
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 300)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+    k = (F.col("doc_id") % 3 + 1).cast("int")
+    did = F.col("doc_id").cast("string")
+
+    def page(p):
+        n = p + 2  # cells per page
+        idxs = F.sequence(F.lit(0), n - 1)
+        return F.struct(
+            F.transform(idxs, lambda j: F.concat(
+                F.lit("line "), did, F.lit(" "), p.cast("string"),
+                F.lit(" "), j.cast("string"))).alias("text"),
+            F.transform(idxs, lambda j: F.array(
+                F.lit(3.0) + j * 2, F.lit(5.0) + j * 7,
+                F.lit(40.0), F.lit(6.0))).alias("bbox"),
+            F.transform(idxs, lambda j: F.lit(1.0) - j * 0.01).alias("score"),
+        )
+
+    anno = F.to_json(F.struct(
+        F.transform(F.sequence(F.lit(0), k - 1), page).alias("pages")))
+    seg = pixparse_segmented_pages(docs.select("doc_id", anno.alias("anno")))
+    return (
+        seg.select("doc_id", F.explode("gt_pages").alias("page_no", "cells"))
+        .select("doc_id", "page_no", F.explode("cells").alias("c"))
+        .select("doc_id", "page_no",
+                F.col("c.cell_id").alias("cell_id"),
+                F.col("c.text").alias("text"),
+                F.col("c.l").alias("l"), F.col("c.t").alias("t"),
+                F.col("c.r").alias("r"), F.col("c.b").alias("b"),
+                F.round("c.score", 6).alias("score"))
+        .orderBy("doc_id", "page_no", "cell_id")
+    )
+
+
 def _q_docvqa_kv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocVQA-style QA builder (reference docvqa_builder.py:104-145):
     question KEY cells at running indices, answer VALUE cells following,
@@ -1273,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_export_md5": _q_markdown_export_md5,
         "doctags_parse": _q_doctags_parse,
         "omnidoc_spans": _q_omnidoc_spans,
+        "pixparse_page_cells": _q_pixparse_page_cells,
         "docvqa_kv_cells": _q_docvqa_kv_cells,
         "docvqa_anls": _q_docvqa_anls,
         "doclaynet_layout_spans": _q_doclaynet_layout_spans,
@@ -1475,6 +1521,19 @@ def oracle_sql() -> dict[str, str]:
             "cast(strlen('&lt;omitted text for ' || cat || '&gt;') AS int) "
             "AS charspan_end "
             "FROM c ORDER BY doc_id, idx"
+        ),
+        "pixparse_page_cells": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "
+            "WHERE doc_id < 300), "
+            "p AS (SELECT doc_id, i AS pg FROM d, unnest(range(0, k)) AS u(i)) "
+            "SELECT doc_id, cast(pg + 1 AS int) AS page_no, "
+            "cast(j AS int) AS cell_id, "
+            "'line ' || doc_id || ' ' || pg || ' ' || j AS text, "
+            "round(3.0 + j * 2, 6) AS l, round(5.0 + j * 7, 6) AS t, "
+            "round(43.0 + j * 2, 6) AS r, round(11.0 + j * 7, 6) AS b, "
+            "round(1.0 - j * 0.01, 6) AS score "
+            "FROM p, unnest(range(0, pg + 2)) AS v(j) "
+            "ORDER BY doc_id, page_no, cell_id"
         ),
         "docvqa_kv_cells": (
             "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "

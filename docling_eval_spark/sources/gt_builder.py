@@ -358,6 +358,46 @@ def omnidocbench_spans(df: DataFrame, key: str = "doc_id",
     )
 
 
+# -- pixparse-style OCR ground-truth builder ----------------------------------
+
+PIXPARSE_ROW_SCHEMA = (
+    "struct<pages:array<struct<text:array<string>,"
+    "bbox:array<array<double>>,score:array<double>>>>"
+)
+
+
+def pixparse_segmented_pages(df: DataFrame, key: str = "doc_id",
+                             anno_col: str = "anno") -> DataFrame:
+    """pixparse-style `ground_truth.json` OCR annotations -> the engine's
+    segmented-page model: map<int, array<struct<cell_id, text, l, t, r,
+    b, score>>> (reference pixparse_builder.py:60-114: per page, zipped
+    text/bbox/score become from-OCR textline cells; bbox is ltwh ->
+    ltrb; pages number from 1). Fully native, and directly consumable by
+    the page-granular OCR pipeline (plans/ocr_eval.py)."""
+    parsed = df.select(key, F.from_json(F.col(anno_col),
+                                        PIXPARSE_ROW_SCHEMA).alias("a"))
+
+    def cells(p):
+        z = F.arrays_zip(p["text"].alias("text"), p["bbox"].alias("bbox"),
+                         p["score"].alias("score"))
+        return F.transform(z, lambda c, j: F.struct(
+            j.cast("int").alias("cell_id"),
+            c["text"].alias("text"),
+            F.round(c["bbox"][0], 6).alias("l"),
+            F.round(c["bbox"][1], 6).alias("t"),
+            F.round(c["bbox"][0] + c["bbox"][2], 6).alias("r"),
+            F.round(c["bbox"][1] + c["bbox"][3], 6).alias("b"),
+            c["score"].alias("score"),
+        ))
+
+    pages = F.map_from_entries(F.transform(
+        F.col("a.pages"),
+        lambda p, i: F.struct((i + 1).cast("int").alias("page_no"),
+                              cells(p).alias("cells")),
+    ))
+    return parsed.select(key, pages.alias("gt_pages"))
+
+
 # -- DocVQA-style QA builder --------------------------------------------------
 
 DOCVQA_ROW_SCHEMA = (

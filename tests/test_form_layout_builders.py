@@ -83,3 +83,22 @@ def test_omnidocbench_poly_bbox_and_labels(spark):
     assert e["text"] == "&lt;omitted text for equation_isolated&gt;"
     assert e["charspan_end"] == len(e["text"])
     assert rows[1]["label"] == "text"  # unknown category falls through
+
+
+def test_pixparse_segmented_pages_model(spark):
+    from docling_eval_spark.sources.gt_builder import pixparse_segmented_pages
+
+    anno = json.dumps({"pages": [
+        {"text": ["hello", "world"],
+         "bbox": [[10, 20, 30, 5], [10, 28, 25, 5]],
+         "score": [0.99, 0.5]},
+        {"text": ["p2"], "bbox": [[0, 0, 4, 4]], "score": [1.0]},
+    ]})
+    df = spark.createDataFrame([(5, anno)], "doc_id bigint, anno string")
+    row = pixparse_segmented_pages(df).collect()[0]
+    pages = row["gt_pages"]
+    assert sorted(pages) == [1, 2]  # pages number from 1 (ref :82)
+    c0 = pages[1][0]
+    assert (c0["cell_id"], c0["text"], c0["score"]) == (0, "hello", 0.99)
+    assert (c0["l"], c0["t"], c0["r"], c0["b"]) == (10.0, 20.0, 40.0, 25.0)
+    assert pages[2][0]["text"] == "p2"
