@@ -71,7 +71,7 @@ def cmd_create_eval(args) -> None:
     print(f"create-eval: {n} scored rows committed to {args.output}")
 
 
-MODALITIES = ("markdown", "layout", "reading_order", "ocr", "table")
+MODALITIES = ("markdown", "layout", "reading_order", "ocr", "table", "timings")
 
 
 def cmd_evaluate(args) -> None:
@@ -109,13 +109,42 @@ def cmd_evaluate(args) -> None:
         roll = reading_order_rollup(
             reading_order_scores(spark, args.from_documents)).collect()[0].asDict()
     elif m == "ocr":
-        from .plans.ocr_eval import ocr_rollup, ocr_scores
+        from pyspark.sql import functions as F
+
+        from .plans.ocr_eval import ocr_rollup, ocr_scores, page_ocr_scores
 
         roll = ocr_rollup(ocr_scores(spark, args.from_documents)).collect()[0].asDict()
+        # page-granular pass (reference ocr_evaluator.py:150-162 model)
+        page = page_ocr_scores(spark, args.from_documents).agg(
+            F.count("*").alias("total_pages"),
+            F.round(F.avg("char_accuracy"), 6).alias("page_mean_char_accuracy"),
+        ).collect()[0].asDict()
+        roll.update(page)
     elif m == "table":
-        from .plans.table_eval import teds_rollup, teds_scores
+        from .plans.table_eval import delta_histogram, teds_rollup, teds_scores
 
-        roll = teds_rollup(teds_scores(spark, args.from_documents)).collect()[0].asDict()
+        # ONE persisted execution of the TEDS-scoring stage feeds both
+        # the rollup and the full -10..10 delta histogram
+        # (table_evaluator.py:51-90), flattened as delta_*_<d> counters
+        scores = teds_scores(spark, args.from_documents).persist()
+        try:
+            roll = teds_rollup(scores).collect()[0].asDict()
+            for r in delta_histogram(scores).collect():
+                if r["n_rows"] or r["n_cols"] or r["delta"] == 0:
+                    roll[f"delta_rows_{r['delta']}"] = r["n_rows"]
+                    roll[f"delta_cols_{r['delta']}"] = r["n_cols"]
+        finally:
+            scores.unpersist()
+    elif m == "timings":
+        from .plans.report import docs_table, timings_stats, with_synthetic_timings
+
+        rows = timings_stats(
+            with_synthetic_timings(docs_table(spark, args.from_documents))
+        ).collect()
+        roll = {}
+        for r in rows:
+            for c in ("total", "mean_sec", "median_sec", "std_sec"):
+                roll[f"{r['stage']}_{c}"] = r[c]
     else:
         raise SystemExit(f"unknown modality {m}")
     os.makedirs(args.output_dir, exist_ok=True)
