@@ -308,18 +308,20 @@ def _docvqa_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OMNIDOC_FIXTURE_CATS = [
-    "title", "text_block", "table", "table_caption", "table_footnote",
-    "figure", "figure_caption", "figure_footnote", "equation_isolated",
-    "equation_caption", "text_mask", "weird_cat",
+    "title", "text_block", "table", "table_caption", "header",
+    "figure", "figure_caption", "footer", "equation_isolated",
+    "page_number", "text_mask", "weird_cat",
 ]
 
 
 def _q_omnidoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OmniDocBench-style builder (reference omnidocbench_builder.py
-    :180-295): bbox from the flat poly list (fixture uses a NON-
-    rectangular 3-point polygon so min/max actually does work),
-    category_type through the branch map, literal omitted-text
-    placeholder."""
+    """OmniDocBench builder (reference omnidocbench_builder.py:178-322):
+    real annotation shape — elements under layout_dets, bbox from the
+    flat poly list (the fixture's NON-rectangular 3-point polygon makes
+    min/max do real work), per-branch label map incl. header/footer/
+    page_number, the text-field override (even element indices carry a
+    real text, odd ones fall back to the omitted placeholder), and
+    unmapped categories dropped with an idx gap."""
     from docling_eval_spark.sources.gt_builder import omnidocbench_spans
 
     docs = (
@@ -337,11 +339,18 @@ def _q_omnidoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(cats, ((F.col("doc_id") + j) % 12 + 1).cast("int"))
             .alias("category_type"),
             F.array(x0 + 3, y0, x0 + 10, y0 + 1, x0, y0 + 7).alias("poly"),
+            # null text keys drop out of to_json -> "text" absent, like
+            # real annotations without the field
+            F.when(j % 2 == 0, F.concat(
+                F.lit("body "), F.col("doc_id").cast("string"),
+                F.lit(" "), j.cast("string"))).alias("text"),
             F.lit("").alias("html"),
         )
 
     anno = F.to_json(F.struct(
-        F.transform(F.sequence(F.lit(0), k - 1), elem).alias("elements")))
+        F.struct(F.lit(612.0).alias("width"),
+                 F.lit(792.0).alias("height")).alias("page_info"),
+        F.transform(F.sequence(F.lit(0), k - 1), elem).alias("layout_dets")))
     return omnidocbench_spans(docs.select("doc_id", anno.alias("anno"))) \
         .orderBy("doc_id", "idx")
 
@@ -1503,24 +1512,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM d, unnest(range(0, k)) AS u(j)), "
             "c AS (SELECT *, CASE li WHEN 0 THEN 'title' "
             "WHEN 1 THEN 'text_block' WHEN 2 THEN 'table' "
-            "WHEN 3 THEN 'table_caption' WHEN 4 THEN 'table_footnote' "
+            "WHEN 3 THEN 'table_caption' WHEN 4 THEN 'header' "
             "WHEN 5 THEN 'figure' WHEN 6 THEN 'figure_caption' "
-            "WHEN 7 THEN 'figure_footnote' WHEN 8 THEN 'equation_isolated' "
-            "WHEN 9 THEN 'equation_caption' WHEN 10 THEN 'text_mask' "
-            "ELSE 'weird_cat' END AS cat FROM e) "
+            "WHEN 7 THEN 'footer' WHEN 8 THEN 'equation_isolated' "
+            "WHEN 9 THEN 'page_number' WHEN 10 THEN 'text_mask' "
+            "ELSE 'weird_cat' END AS cat, "
+            "CASE WHEN j % 2 = 0 THEN 'body ' || doc_id || ' ' || j "
+            "END AS body FROM e) "
             "SELECT doc_id, cast(j AS int) AS idx, "
             "CASE li WHEN 0 THEN 'title' WHEN 1 THEN 'text' "
             "WHEN 2 THEN 'table' WHEN 3 THEN 'caption' "
-            "WHEN 4 THEN 'footnote' WHEN 5 THEN 'picture' "
-            "WHEN 6 THEN 'caption' WHEN 7 THEN 'footnote' "
-            "WHEN 8 THEN 'formula' WHEN 9 THEN 'caption' "
+            "WHEN 4 THEN 'page_header' WHEN 5 THEN 'picture' "
+            "WHEN 6 THEN 'caption' WHEN 7 THEN 'page_footer' "
+            "WHEN 8 THEN 'formula' WHEN 9 THEN 'page_footer' "
             "ELSE 'text' END AS label, "
             "round(4.0 + j * 5, 6) AS l, round(6.0 + j * 4, 6) AS t, "
             "round(14.0 + j * 5, 6) AS r, round(13.0 + j * 4, 6) AS b, "
-            "'&lt;omitted text for ' || cat || '&gt;' AS text, "
-            "cast(strlen('&lt;omitted text for ' || cat || '&gt;') AS int) "
+            "coalesce(body, '&lt;omitted text for ' || cat || '&gt;') AS text, "
+            "cast(strlen(coalesce(body, "
+            "'&lt;omitted text for ' || cat || '&gt;')) AS int) "
             "AS charspan_end "
-            "FROM c ORDER BY doc_id, idx"
+            "FROM c WHERE li != 11 ORDER BY doc_id, idx"
         ),
         "pixparse_page_cells": (
             "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "

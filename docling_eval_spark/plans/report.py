@@ -75,13 +75,7 @@ def with_synthetic_timings(docs: DataFrame) -> DataFrame:
 
 def timings_rollup(docs: DataFrame) -> DataFrame:
     """A9: explode the timings map; per-stage totals via F.aggregate."""
-    exploded = docs.select(
-        "doc_id", F.explode("prediction_timings").alias("stage", "times")
-    )
-    per_doc = exploded.withColumn(
-        "stage_total",
-        F.aggregate("times", F.lit(0.0), lambda acc, x: acc + x),
-    )
+    per_doc = _stage_totals(docs)
     return (
         per_doc.groupBy("stage")
         .agg(
@@ -126,8 +120,11 @@ def timings_histogram(docs: DataFrame, nr_bins: int = 20) -> DataFrame:
     """The 20-bin histogram half of compute_stats (np.histogram over
     (0, max), max_value_is_one=False for timings — stats.py:87-92):
     bucket = floor(x/max*bins) with the right edge folded into the last
-    bin, all bins present zero-filled. One pass + a per-stage window max;
-    the bin frame is a broadcast literal range."""
+    bin, all bins present zero-filled. When a stage's max is 0 (all-zero
+    timings), np.histogram widens the equal edges by ±0.5 and every
+    value lands in the middle bin — mirrored here instead of a NaN
+    bucket. One pass + a per-stage window max; the bin frame is a
+    broadcast literal range."""
     from pyspark.sql import Window
 
     per_doc = _stage_totals(docs)
@@ -135,8 +132,10 @@ def timings_histogram(docs: DataFrame, nr_bins: int = 20) -> DataFrame:
     bucketed = per_doc.withColumn("_mx", F.max("stage_total").over(w)) \
         .select(
             "stage",
-            F.least(F.floor(F.col("stage_total") / F.col("_mx") * nr_bins),
-                    F.lit(nr_bins - 1)).cast("int").alias("bucket"),
+            F.when(F.col("_mx") == 0, F.lit(nr_bins // 2))
+            .otherwise(
+                F.least(F.floor(F.col("stage_total") / F.col("_mx") * nr_bins),
+                        F.lit(nr_bins - 1))).cast("int").alias("bucket"),
         )
     counts = bucketed.groupBy("stage", "bucket").agg(F.count("*").alias("n"))
     spark = docs.sparkSession

@@ -305,57 +305,72 @@ def funsd_kv_cells(df: DataFrame, key: str = "doc_id",
 
 # -- OmniDocBench-style builder -----------------------------------------------
 
-# omnidocbench_builder.py:214-295 branch map; every remaining branch
-# (text_mask, table_mask, code_txt, abandon, need_mask, unknowns) is text
+# omnidocbench_builder.py:214-322, branch for branch; elements whose
+# category has NO branch are dropped like the reference's logged else
 OMNIDOC_LABEL_MAP = {
     "title": "title",
     "text_block": "text",
+    "text_mask": "text",
     "table": "table",
     "table_caption": "caption",
     "table_footnote": "footnote",
+    "table_mask": "text",
     "figure": "picture",
     "figure_caption": "caption",
     "figure_footnote": "footnote",
     "equation_isolated": "formula",
     "equation_caption": "caption",
+    "code_txt": "text",
+    "abandon": "text",
+    "need_mask": "text",
+    "header": "page_header",
+    "footer": "page_footer",
+    "reference": "text",
+    "page_footnote": "footnote",
+    "page_number": "page_footer",
 }
 
 OMNIDOC_ROW_SCHEMA = (
-    "struct<elements:array<struct<category_type:string,"
-    "poly:array<double>,html:string>>>"
+    "struct<page_info:struct<width:double,height:double>,"
+    "layout_dets:array<struct<category_type:string,"
+    "poly:array<double>,text:string,html:string>>>"
 )
 
 
 def omnidocbench_spans(df: DataFrame, key: str = "doc_id",
                        anno_col: str = "anno") -> DataFrame:
-    """OmniDocBench-style annotations -> span rows (reference
-    omnidocbench_builder.py:180-295): bbox = min/max over the flat
-    `poly` [x1, y1, x2, y2, ...] list, `category_type` through the
-    branch-for-branch label map (masks/code/abandon and unknowns ->
-    text), and the reference's literal omitted-text placeholder with
+    """OmniDocBench annotations -> span rows (reference
+    omnidocbench_builder.py:178-322): elements live under `layout_dets`;
+    bbox = min/max over the flat `poly` [x1, y1, x2, y2, ...] list;
+    `category_type` through the branch-for-branch label map; elements
+    with an unmapped category are DROPPED (the reference's logged else
+    adds nothing — `idx` keeps the original annotation position, so
+    drops leave gaps); text is the annotation's `text` field when
+    present, else the literal omitted-text placeholder (:183-185), with
     charspan (0, len). Fully native — poly min/max via index-aware
     transforms (array_min/max skip the nulled-out other coordinate)."""
     parsed = df.select(key, F.from_json(F.col(anno_col),
                                         OMNIDOC_ROW_SCHEMA).alias("a"))
-    el = parsed.select(key, F.posexplode("a.elements").alias("idx", "e"))
+    el = parsed.select(key, F.posexplode("a.layout_dets").alias("idx", "e"))
     poly = F.col("e.poly")
     xs = F.transform(poly, lambda v, i: F.when(i % 2 == 0, v))
     ys = F.transform(poly, lambda v, i: F.when(i % 2 == 1, v))
     label_map = F.create_map(
         *[F.lit(x) for kv in OMNIDOC_LABEL_MAP.items() for x in kv])
-    text = F.concat(F.lit("&lt;omitted text for "),
-                    F.col("e.category_type"), F.lit("&gt;"))
+    text = F.coalesce(
+        F.col("e.text"),
+        F.concat(F.lit("&lt;omitted text for "),
+                 F.col("e.category_type"), F.lit("&gt;")))
     return el.select(
         key, "idx",
-        F.coalesce(F.element_at(label_map, F.col("e.category_type")),
-                   F.lit("text")).alias("label"),
+        F.element_at(label_map, F.col("e.category_type")).alias("label"),
         F.round(F.array_min(xs), 6).alias("l"),
         F.round(F.array_min(ys), 6).alias("t"),
         F.round(F.array_max(xs), 6).alias("r"),
         F.round(F.array_max(ys), 6).alias("b"),
         text.alias("text"),
         F.length(text).alias("charspan_end"),
-    )
+    ).where(F.col("label").isNotNull())
 
 
 # -- pixparse-style OCR ground-truth builder ----------------------------------
@@ -378,17 +393,26 @@ def pixparse_segmented_pages(df: DataFrame, key: str = "doc_id",
                                         PIXPARSE_ROW_SCHEMA).alias("a"))
 
     def cells(p):
-        z = F.arrays_zip(p["text"].alias("text"), p["bbox"].alias("bbox"),
-                         p["score"].alias("score"))
-        return F.transform(z, lambda c, j: F.struct(
-            j.cast("int").alias("cell_id"),
-            c["text"].alias("text"),
-            F.round(c["bbox"][0], 6).alias("l"),
-            F.round(c["bbox"][1], 6).alias("t"),
-            F.round(c["bbox"][0] + c["bbox"][2], 6).alias("r"),
-            F.round(c["bbox"][1] + c["bbox"][3], 6).alias("b"),
-            c["score"].alias("score"),
-        ))
+        # truncate to the SHORTEST list like the reference's zip()
+        # (pixparse_builder.py:93) — arrays_zip would pad phantom
+        # null cells on ragged annotations
+        n = F.least(F.size(p["text"]), F.size(p["bbox"]), F.size(p["score"]))
+        empty = F.array().cast(
+            "array<struct<cell_id:int,text:string,l:double,t:double,"
+            "r:double,b:double,score:double>>")
+        return F.when(n <= 0, empty).otherwise(F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.struct(
+                j.cast("int").alias("cell_id"),
+                F.element_at(p["text"], j + 1).alias("text"),
+                F.round(F.element_at(p["bbox"], j + 1)[0], 6).alias("l"),
+                F.round(F.element_at(p["bbox"], j + 1)[1], 6).alias("t"),
+                F.round(F.element_at(p["bbox"], j + 1)[0]
+                        + F.element_at(p["bbox"], j + 1)[2], 6).alias("r"),
+                F.round(F.element_at(p["bbox"], j + 1)[1]
+                        + F.element_at(p["bbox"], j + 1)[3], 6).alias("b"),
+                F.element_at(p["score"], j + 1).alias("score"),
+            )))
 
     pages = F.map_from_entries(F.transform(
         F.col("a.pages"),
@@ -417,7 +441,12 @@ def docvqa_kv_cells(df: DataFrame, key: str = "doc_id",
     parsed = df.select(key, F.from_json(F.col(anno_col),
                                         DOCVQA_ROW_SCHEMA).alias("a"))
     qa = F.col("a.qa")
-    sizes = F.transform(qa, lambda q: F.size(q["answers"]) + 1)
+    # a qa entry with no/null answers contributes zero VALUE cells and a
+    # zero out-degree KEY — F.size(null) would be -1 and corrupt the
+    # running index (deviation: the reference would raise iterating None)
+    _answers = lambda q: F.coalesce(  # noqa: E731
+        q["answers"], F.array().cast("array<string>"))
+    sizes = F.transform(qa, lambda q: F.size(_answers(q)) + 1)
 
     def entry(q, i):
         start = F.aggregate(F.slice(sizes, 1, i), F.lit(0),
@@ -427,9 +456,9 @@ def docvqa_kv_cells(df: DataFrame, key: str = "doc_id",
             i.cast("int").alias("qa_idx"),
             F.lit("KEY").alias("label"),
             q["question"].alias("text"),
-            F.size(q["answers"]).alias("n_out"),
+            F.size(_answers(q)).alias("n_out"),
         ))
-        answers = F.transform(q["answers"], lambda a, j: F.struct(
+        answers = F.transform(_answers(q), lambda a, j: F.struct(
             (start + 1 + j).cast("int").alias("cell_id"),
             i.cast("int").alias("qa_idx"),
             F.lit("VALUE").alias("label"),

@@ -66,23 +66,65 @@ def test_funsd_dangling_link_dropped(spark):
     assert [(r["cell_id"], r["label"]) for r in rows] == [(0, "VALUE")]
 
 
-def test_omnidocbench_poly_bbox_and_labels(spark):
+def test_omnidocbench_real_shape(spark):
+    """Real OmniDocBench annotation shape: layout_dets envelope, text
+    field override, header/page_number branches, unknowns DROPPED."""
     from docling_eval_spark.sources.gt_builder import omnidocbench_spans
 
-    anno = json.dumps({"elements": [
-        {"category_type": "equation_isolated",
-         "poly": [50, 10, 80, 12, 45, 30, 60, 8], "html": ""},
-        {"category_type": "something_new", "poly": [0, 0, 2, 2], "html": ""},
-    ]})
+    anno = json.dumps({
+        "page_info": {"width": 612.0, "height": 792.0},
+        "layout_dets": [
+            {"category_type": "equation_isolated",
+             "poly": [50, 10, 80, 12, 45, 30, 60, 8], "html": ""},
+            {"category_type": "something_new", "poly": [0, 0, 2, 2]},
+            {"category_type": "text_block", "poly": [1, 2, 9, 8],
+             "text": "real body text"},
+            {"category_type": "header", "poly": [0, 0, 100, 10]},
+            {"category_type": "page_number", "poly": [0, 780, 20, 790]},
+        ],
+    })
     df = spark.createDataFrame([(3, anno)], "doc_id bigint, anno string")
     rows = {r["idx"]: r for r in omnidocbench_spans(df).collect()}
+    assert sorted(rows) == [0, 2, 3, 4]  # unknown at idx 1 dropped, gap kept
     e = rows[0]
     assert e["label"] == "formula"
     # bbox = min/max over ALL poly points, not the first pair
     assert (e["l"], e["t"], e["r"], e["b"]) == (45.0, 8.0, 80.0, 30.0)
     assert e["text"] == "&lt;omitted text for equation_isolated&gt;"
     assert e["charspan_end"] == len(e["text"])
-    assert rows[1]["label"] == "text"  # unknown category falls through
+    assert rows[2]["text"] == "real body text"  # :184-185 override
+    assert rows[2]["charspan_end"] == len("real body text")
+    assert rows[3]["label"] == "page_header"
+    assert rows[4]["label"] == "page_footer"
+
+
+def test_pixparse_ragged_lists_truncate(spark):
+    """Reference zip() truncates to the shortest list — no phantom
+    null-bbox cells from arrays_zip padding."""
+    from docling_eval_spark.sources.gt_builder import pixparse_segmented_pages
+
+    anno = json.dumps({"pages": [
+        {"text": ["a", "b", "c"], "bbox": [[0, 0, 1, 1], [2, 0, 1, 1]],
+         "score": [0.9, 0.8]},
+    ]})
+    df = spark.createDataFrame([(1, anno)], "doc_id bigint, anno string")
+    cells = pixparse_segmented_pages(df).collect()[0]["gt_pages"][1]
+    assert [c["text"] for c in cells] == ["a", "b"]
+    assert all(c["l"] is not None for c in cells)
+
+
+def test_docvqa_missing_answers_keep_index_consistent(spark):
+    from docling_eval_spark.sources.gt_builder import docvqa_kv_cells
+
+    anno = json.dumps({"qa": [
+        {"question": "no answers recorded"},
+        {"question": "second", "answers": ["x"]},
+    ]})
+    df = spark.createDataFrame([(1, anno)], "doc_id bigint, anno string")
+    rows = {r["cell_id"]: r for r in docvqa_kv_cells(df).collect()}
+    assert rows[0]["label"] == "KEY" and rows[0]["n_out"] == 0
+    assert rows[1]["label"] == "KEY" and rows[1]["text"] == "second"
+    assert rows[2]["label"] == "VALUE" and rows[2]["text"] == "x"
 
 
 def test_pixparse_segmented_pages_model(spark):
