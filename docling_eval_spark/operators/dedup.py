@@ -252,6 +252,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", key: str = "doc_i
         sigs = sigs.persist()
     cands = minhash_lsh_candidates(
         sigs, key, max_bucket_size=max_bucket_size).persist()
+    # materialize the candidates in their OWN job first: the verify job
+    # has three consumers of this frame, and a persist alone does not
+    # stop them racing to compute the (expensive signature-UDF) subtree
+    # concurrently before the cache fills — measured 3x the signature
+    # stage on the first execution
+    cands.count()
     out = ngram_jaccard_verify(df, cands, text_col, key,
                                threshold=threshold).persist()
     out.count()  # materialize before releasing the candidate cache

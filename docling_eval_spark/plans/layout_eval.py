@@ -130,6 +130,7 @@ def layout_rollups(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
     docs = _docs(spark, sf_dir, n_partitions).where(
         (F.col("doc_id") % 4).isin(list(modes)))
     partials = docs.mapInPandas(_partial_batches, schema=PARTIALS_SCHEMA).persist()
+    partials.count()  # materialize once before the multi-consumer finals
     dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
     gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
     out = {
@@ -165,6 +166,8 @@ def corpus_map(spark: SparkSession, sf_dir: str, n_partitions: int = 16,
     # the RETURNED one-row-per-summary frame stays cached (caller-owned —
     # its footprint is a handful of rows).
     partials = partials.persist()
+    partials.count()  # own job first: downstream consumers of a merely
+    # persist-marked frame race to compute the matching stage concurrently
     dets = partials.where(F.col("kind") == "det").select("label", "score", "tp")
     gts = partials.where(F.col("kind") == "gt").select("label", "n_gt")
     out = corpus_map_from_partials(dets, gts).persist()
