@@ -355,6 +355,43 @@ def _q_omnidoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "idx")
 
 
+def _q_ppm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path (F17): deterministic P6 payloads synthesized
+    AND decoded inside one Arrow stage with the from-scratch netpbm
+    parser (operators/multimodal.py decode_ppm); per-channel means of
+    the gradient/constant pixel pattern are closed-form."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 500)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.operators.multimodal import decode_ppm, synth_ppm
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 16, 8 + d % 8
+                arr = decode_ppm(synth_ppm(d, w, h))
+                means = arr.astype("float64").mean(axis=(0, 1))
+                rows.append((d, arr.shape[1], arr.shape[0],
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_r", "mean_g", "mean_b"])
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, width int, height int, mean_r double, "
+                    "mean_g double, mean_b double").orderBy("doc_id")
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1328,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doctags_parse": _q_doctags_parse,
         "omnidoc_spans": _q_omnidoc_spans,
         "pixparse_page_cells": _q_pixparse_page_cells,
+        "ppm_decode_features": _q_ppm_decode_features,
         "docvqa_kv_cells": _q_docvqa_kv_cells,
         "docvqa_anls": _q_docvqa_anls,
         "doclaynet_layout_spans": _q_doclaynet_layout_spans,
@@ -1533,6 +1571,16 @@ def oracle_sql() -> dict[str, str]:
             "'&lt;omitted text for ' || cat || '&gt;')) AS int) "
             "AS charspan_end "
             "FROM c WHERE li != 11 ORDER BY doc_id, idx"
+        ),
+        "ppm_decode_features": (
+            "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "
+            "8 + doc_id % 8 AS h FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height, "
+            "round(list_sum(list_transform(range(0, w), "
+            "  x -> floor(255.0 * x / (w - 1)))) / w, 6) AS mean_r, "
+            "round(cast((doc_id + 85) % 256 AS double), 6) AS mean_g, "
+            "round(cast((doc_id + 170) % 256 AS double), 6) AS mean_b "
+            "FROM d ORDER BY doc_id"
         ),
         "pixparse_page_cells": (
             "WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents "

@@ -12,12 +12,14 @@ rows (docling_eval/datamodels/dataset_record.py:38-43, utils/utils.py:
     stages with explicit output schemas and SMALL record batches (session
     caps maxRecordsPerBatch because payloads are MB-scale).
 
-The actual image/audio decode is STUBBED: the sandbox ships no codec libs,
-so `decode_image_features` uses Pillow when importable and otherwise a
-clearly-marked DETERMINISTIC FAKE (features derived from payload bytes).
-The Spark-side plumbing — schemas, batch shapes, partitioning, UDTF-style
-row fan-out — is real and tested; swapping the fake for a codec is a
-one-function change.
+Decode paths, honestly tiered:
+  - PPM (P6): REAL from-scratch decode (header parse + numpy pixel
+    array + nearest-neighbor resize) — fully exercised and oracle-gated
+    in this sandbox, no codec libs needed;
+  - PNG/JPEG: Pillow when importable (import-gated — absent here);
+  - anything else: a clearly-marked DETERMINISTIC FAKE (features derived
+    from payload bytes) so the Spark-side plumbing — schemas, batch
+    shapes, partitioning, UDTF-style row fan-out — stays testable.
 """
 
 from __future__ import annotations
@@ -34,9 +36,66 @@ from pyspark.sql import functions as F
 _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
+    (b"P6", "image/x-portable-pixmap"),
     (b"RIFF", "audio/wav"),
     (b"\x1aE\xdf\xa3", "video/webm"),
 ]
+
+
+# -- real decode path: PPM (P6) ----------------------------------------------
+# The netpbm P6 format is fully decodable with numpy alone, so the decode
+# tier has one REAL end-to-end path in this sandbox (PNG/JPEG stay behind
+# the PIL import gate).
+
+
+def synth_ppm(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic P6 image: R is an x-gradient floor(255x/(w-1)),
+    G/B are doc-derived constants — chosen so every decoded statistic
+    has a closed form."""
+    x = np.arange(width, dtype=np.int64)
+    r = ((255 * x) // max(width - 1, 1)).astype(np.uint8)
+    arr = np.empty((height, width, 3), dtype=np.uint8)
+    arr[:, :, 0] = r[None, :]
+    arr[:, :, 1] = (doc_id + 85) % 256
+    arr[:, :, 2] = (doc_id + 170) % 256
+    return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """From-scratch P6 parser (public netpbm spec): whitespace-separated
+    header tokens (comment lines skipped), maxval <= 255, then raw RGB
+    bytes -> (h, w, 3) uint8 array."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit ppm unsupported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def nearest_resize(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize via index arithmetic (the decode tier's
+    resize primitive — no interpolation libs)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys[:, None], xs[None, :]]
 
 
 def with_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -97,6 +156,17 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
             rows = []
             for doc_id, payload in zip(pdf[key], pdf[payload_col]):
                 b = bytes(payload)
+                if b.startswith(b"P6"):
+                    # REAL decode path — no codec libs needed for P6
+                    arr = decode_ppm(b)
+                    h, w = arr.shape[:2]
+                    luma = float(arr.astype(np.float64).mean()) / 255.0
+                    col_means = arr.astype(np.float64).mean(axis=(0, 2))
+                    feat = nearest_resize(
+                        col_means[None, :], dim, 1)[0] / 255.0
+                    rows.append((int(doc_id), w, h, luma,
+                                 feat.astype(np.float32).tolist()))
+                    continue
                 if has_pil:
                     try:
                         img = Image.open(io.BytesIO(b)).convert("L")

@@ -56,3 +56,49 @@ class TestMultimodal:
             n_chunks = max(1, (sizes[row["doc_id"]] + 99) // 100)
             expected = (n_chunks + 3) // 4
             assert row["count"] == expected
+
+
+class TestPpmDecode:
+    def test_roundtrip_and_header_comments(self):
+        import numpy as np
+
+        from docling_eval_spark.operators.multimodal import decode_ppm, synth_ppm
+
+        arr = decode_ppm(synth_ppm(7, 20, 10))
+        assert arr.shape == (10, 20, 3)
+        assert arr[0, 0, 0] == 0 and arr[0, 19, 0] == 255  # x-gradient
+        assert int(arr[3, 5, 1]) == (7 + 85) % 256
+        # comment-tolerant header per the netpbm spec
+        body = np.full((2, 3, 3), 9, dtype=np.uint8).tobytes()
+        payload = b"P6\n# a comment\n3 2\n# more\n255\n" + body
+        arr2 = decode_ppm(payload)
+        assert arr2.shape == (2, 3, 3) and int(arr2.sum()) == 9 * 18
+
+    def test_nearest_resize(self):
+        import numpy as np
+
+        from docling_eval_spark.operators.multimodal import nearest_resize
+
+        arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = nearest_resize(arr, 2, 2)
+        assert out.tolist() == [[0, 2], [8, 10]]
+
+    def test_decode_image_features_uses_real_ppm_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.operators.multimodal import (
+            decode_image_features,
+            synth_ppm,
+            with_payload_metadata,
+        )
+
+        rows = [(d, bytearray(synth_ppm(d, 16, 8))) for d in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        meta = with_payload_metadata(df).select("payload_meta.mime").collect()
+        assert {r["mime"] for r in meta} == {"image/x-portable-pixmap"}
+        feats = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+        # real decode: dimensions come from the PPM header, luma from pixels
+        assert feats[0]["width"] == 16 and feats[0]["height"] == 8
+        exp_luma = (sum((255 * x) // 15 for x in range(16)) / 16 + 85 + 170) / 3 / 255.0
+        assert abs(feats[0]["mean_luma"] - exp_luma) < 1e-9
+        assert len(feats[0]["embedding"]) == 16
