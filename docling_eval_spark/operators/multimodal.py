@@ -86,7 +86,12 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     if maxval > 255:
         raise ValueError("16-bit ppm unsupported")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return data.reshape(h, w, 3)
+    arr = data.reshape(h, w, 3)
+    if maxval < 255:
+        # netpbm semantics: sample/maxval IS the intensity — rescale to
+        # the 0..255 range (floor; maxval -> 255 exactly)
+        arr = (arr.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return arr
 
 
 def nearest_resize(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
@@ -157,16 +162,24 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
             for doc_id, payload in zip(pdf[key], pdf[payload_col]):
                 b = bytes(payload)
                 if b.startswith(b"P6"):
-                    # REAL decode path — no codec libs needed for P6
-                    arr = decode_ppm(b)
-                    h, w = arr.shape[:2]
-                    luma = float(arr.astype(np.float64).mean()) / 255.0
-                    col_means = arr.astype(np.float64).mean(axis=(0, 2))
-                    feat = nearest_resize(
-                        col_means[None, :], dim, 1)[0] / 255.0
-                    rows.append((int(doc_id), w, h, luma,
-                                 feat.astype(np.float32).tolist()))
-                    continue
+                    # REAL decode path — no codec libs needed for P6.
+                    # Malformed payloads that merely share the magic
+                    # fall through to the fake, like the PIL branch.
+                    try:
+                        arr = decode_ppm(b)
+                        h, w = arr.shape[:2]
+                        # one reduction: uint8 mean accumulates in
+                        # float64 without a copy; every column carries
+                        # equal weight, so luma == mean of column means
+                        col_means = arr.mean(axis=(0, 2))
+                        luma = float(col_means.mean()) / 255.0
+                        feat = nearest_resize(
+                            col_means[None, :], dim, 1)[0] / 255.0
+                        rows.append((int(doc_id), w, h, luma,
+                                     feat.astype(np.float32).tolist()))
+                        continue
+                    except Exception:
+                        pass
                 if has_pil:
                     try:
                         img = Image.open(io.BytesIO(b)).convert("L")

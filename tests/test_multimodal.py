@@ -102,3 +102,23 @@ class TestPpmDecode:
         exp_luma = (sum((255 * x) // 15 for x in range(16)) / 16 + 85 + 170) / 3 / 255.0
         assert abs(feats[0]["mean_luma"] - exp_luma) < 1e-9
         assert len(feats[0]["embedding"]) == 16
+
+    def test_maxval_rescaling_and_malformed_fallback(self, spark):
+        import numpy as np
+
+        from docling_eval_spark.operators.multimodal import (
+            decode_image_features,
+            decode_ppm,
+        )
+
+        # maxval=100: full-intensity sample 100 rescales to 255 (netpbm
+        # semantics: sample/maxval is the intensity)
+        body = np.full((1, 2, 3), 100, dtype=np.uint8).tobytes()
+        arr = decode_ppm(b"P6\n2 1\n100\n" + body)
+        assert int(arr.max()) == 255
+
+        # payloads that merely share the P6 magic fall back to the fake
+        rows = [(1, bytearray(b"P6 this is not an image at all"))]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        out = decode_image_features(df).collect()
+        assert len(out) == 1 and out[0]["width"] >= 64  # fake-path dims
