@@ -1349,7 +1349,32 @@ def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry, ordered for driver coverage.
+
+    The round-2 driver hashed exactly the FIRST 50 entries of this dict,
+    so ordering is coverage policy: entries with no CORRECTNESS_r02.json
+    row come first (the 14 tail queries, incl. the former round-1 hash
+    failures event_json_props / cumulative_histogram), then queries new
+    this round, then the 50 that are already driver-green from round 2.
+    """
     return {
+        # --- tier 1: no driver correctness row in round 2 (verify first) ---
+        "event_json_props": _q_event_json_props,
+        "cumulative_histogram": _q_cumulative_histogram,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders": _q_top_orders,
+        "region_revenue": _q_region_revenue,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "late_orders": _q_late_orders,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "large_orders": _q_large_orders,
+        "events_daily": _q_events_daily,
+        "event_sessions": _q_event_sessions,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
+        # --- tier 2: new in round 3 ---
+        # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
         "extract_identity_rate": _q_extract_identity_rate,
@@ -1400,20 +1425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidation_pivot": _q_consolidation_pivot,
         "kv_graph_labels": _q_kv_graph_labels,
         "range_slice": _q_range_slice,
-        "pricing_summary": _q_pricing_summary,
-        "top_orders": _q_top_orders,
-        "region_revenue": _q_region_revenue,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "late_orders": _q_late_orders,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "large_orders": _q_large_orders,
-        "events_daily": _q_events_daily,
-        "event_sessions": _q_event_sessions,
-        "event_json_props": _q_event_json_props,
-        "top_parts_per_brand": _q_top_parts_per_brand,
-        "cumulative_histogram": _q_cumulative_histogram,
-        "embedding_topk": _q_embedding_topk,
-        "embedding_ivf_topk": _q_embedding_ivf_topk,
     }
 
 
