@@ -75,7 +75,14 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
-    """B-bit random-hyperplane signature as a bigint column (JVM-side)."""
+    """B-bit random-hyperplane signature as a bigint column (JVM-side).
+
+    Expression-tree form: B planes x dim literal nodes per signature
+    column — fine at toy dims, a plan-size/codegen bomb at real embedding
+    dims (768+). Production paths use with_lsh_signature (Arrow GEMM);
+    this stays as the independent cross-check the pytest pins the two
+    implementations against each other with.
+    """
     bits = []
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -86,6 +93,35 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     for b in bits[1:]:
         out = out + b
     return out.cast("bigint")
+
+
+def with_lsh_signature(df: DataFrame, vec_col: str,
+                       planes: list[list[float]],
+                       out_col: str = "bucket") -> DataFrame:
+    """Append the B-bit hyperplane signature via one numpy GEMM per Arrow
+    batch (same pattern as _assign_buckets). Plan size is independent of
+    the embedding dim — the hyperplane matrix ships once per task in the
+    serialized closure, not as 6k+ literal expression nodes."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    P = np.asarray(planes, dtype=np.float64)          # [B, dim]
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf[out_col] = ((V @ P.T) > 0).astype(np.int64) @ weights
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
@@ -101,10 +137,10 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
     planes = _random_planes(dim, n_planes, seed)
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("bucket", lsh_signature(F.col("qv"), planes))
+    q = with_lsh_signature(q, "qv", planes)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("bucket", lsh_signature(F.col("cv"), planes))
+    c = with_lsh_signature(c, "cv", planes)
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -142,7 +178,7 @@ def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
     planes = _random_planes(dim, n_planes, seed)
     v = corpus.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
-    v = v.withColumn("bucket", lsh_signature(F.col("v"), planes))
+    v = with_lsh_signature(v, "v", planes)
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(r, on="bucket")
@@ -216,7 +252,9 @@ def ivf_train(corpus: DataFrame, n_clusters: int = 16, iters: int = 2,
         .limit(n_clusters)
         .collect()
     )
-    if len(init) < min(n_clusters, base.count()):  # pragma: no cover - rare
+    # short-circuit: the corpus-count scan only runs on an actual
+    # shortfall (vanishingly rare), not on every training call
+    if len(init) < n_clusters and len(init) < base.count():  # pragma: no cover
         init = base.orderBy(id_col).limit(n_clusters).collect()
     centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
     for _ in range(iters):

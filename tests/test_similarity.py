@@ -50,6 +50,28 @@ class TestIVF:
 
 
 class TestLSH:
+    def test_gemm_signature_matches_expression_path(self, spark, sf_dir):
+        """with_lsh_signature (Arrow GEMM, plan size independent of dim)
+        must assign the exact buckets the expression-tree lsh_signature
+        does — the two implementations cross-check each other."""
+        from docling_eval_spark.operators.similarity import (
+            _as_double,
+            _random_planes,
+            lsh_signature,
+            with_lsh_signature,
+        )
+
+        emb = _emb(spark, sf_dir)
+        dim = len(emb.first()["embedding"])
+        planes = _random_planes(dim, n_planes=8, seed=7)
+        base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        expr = {r["vec_id"]: r["b"] for r in base.select(
+            "vec_id", lsh_signature(F.col("v"), planes).alias("b")).collect()}
+        gemm = {r["vec_id"]: r["bucket"]
+                for r in with_lsh_signature(base, "v", planes).collect()}
+        assert expr == gemm
+        assert len(set(gemm.values())) > 1  # corpus actually spreads
+
     def test_scaled_copy_pairs_always_found(self, spark, sf_dir):
         from docling_eval_spark.operators.similarity import (
             lsh_near_dup_pairs,
