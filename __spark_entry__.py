@@ -392,6 +392,45 @@ def _q_ppm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_g double, mean_b double").orderBy("doc_id")
 
 
+def _q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode path (F17, round 3): deterministic PNG payloads —
+    pixel twins of the PPM fixture, scanline filters cycling 0..4 —
+    synthesized AND decoded inside one Arrow stage with the from-scratch
+    zlib+spec codec (functions/png_codec.py). Same closed-form channel
+    means as the PPM oracle, so a decoder bug in ANY filter path flips
+    the hash."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 500)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x5EED)))
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.functions.png_codec import decode_png, synth_png
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 16, 8 + d % 8
+                arr = decode_png(synth_png(d, w, h))
+                means = arr.astype("float64").mean(axis=(0, 1))
+                rows.append((d, arr.shape[1], arr.shape[0],
+                             round(float(means[0]), 6),
+                             round(float(means[1]), 6),
+                             round(float(means[2]), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_r", "mean_g", "mean_b"])
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, width int, height int, mean_r double, "
+                    "mean_g double, mean_b double").orderBy("doc_id")
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1374,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         # --- tier 2: new in round 3 ---
+        "png_decode_features": _q_png_decode_features,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -1584,6 +1624,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM c WHERE li != 11 ORDER BY doc_id, idx"
         ),
         "ppm_decode_features": (
+            "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "
+            "8 + doc_id % 8 AS h FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height, "
+            "round(list_sum(list_transform(range(0, w), "
+            "  x -> floor(255.0 * x / (w - 1)))) / w, 6) AS mean_r, "
+            "round(cast((doc_id + 85) % 256 AS double), 6) AS mean_g, "
+            "round(cast((doc_id + 170) % 256 AS double), 6) AS mean_b "
+            "FROM d ORDER BY doc_id"
+        ),
+        "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "
             "8 + doc_id % 8 AS h FROM documents WHERE doc_id < 500) "
             "SELECT doc_id, cast(w AS int) AS width, cast(h AS int) AS height, "

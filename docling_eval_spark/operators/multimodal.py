@@ -129,6 +129,28 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def _luma_plane(arr: "np.ndarray") -> "np.ndarray":
+    """Pixel array -> int64 luma plane with PIL's exact integer ITU-R 601
+    arithmetic (ImagingConvert.c: L24(rgb) >> 16), so the same pixels
+    yield the same features whichever decode tier produced them. Gray
+    and gray+alpha planes pass through; RGBA alpha is ignored (PIL
+    RGBA->L parity)."""
+    if arr.ndim == 2 or arr.shape[2] <= 2:
+        plane = arr if arr.ndim == 2 else arr[:, :, 0]
+        return plane.astype(np.int64)
+    rgb = arr[:, :, :3].astype(np.int64)
+    return (rgb[:, :, 0] * 19595 + rgb[:, :, 1] * 38470
+            + rgb[:, :, 2] * 7471) >> 16
+
+
+def _luma_features(arr: "np.ndarray", dim: int) -> tuple[float, list]:
+    """(mean luma in 0..1, dim-wide per-column-mean feature vector)."""
+    col_means = _luma_plane(arr).mean(axis=0, dtype=np.float64)
+    luma = float(col_means.mean()) / 255.0
+    feat = nearest_resize(col_means[None, :], dim, 1)[0] / 255.0
+    return luma, feat.astype(np.float32).tolist()
+
+
 def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, float, list]:
     """DETERMINISTIC FAKE decode (no codec libs in this environment):
     dimensions and features are a pure function of the payload bytes.
@@ -167,27 +189,35 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                     # fall through to the fake, like the PIL branch.
                     try:
                         arr = decode_ppm(b)
-                        h, w = arr.shape[:2]
-                        # one reduction: uint8 mean accumulates in
-                        # float64 without a copy; every column carries
-                        # equal weight, so luma == mean of column means
-                        col_means = arr.mean(axis=(0, 2))
-                        luma = float(col_means.mean()) / 255.0
-                        feat = nearest_resize(
-                            col_means[None, :], dim, 1)[0] / 255.0
-                        rows.append((int(doc_id), w, h, luma,
-                                     feat.astype(np.float32).tolist()))
+                        luma, feat = _luma_features(arr, dim)
+                        rows.append((int(doc_id), arr.shape[1],
+                                     arr.shape[0], luma, feat))
+                        continue
+                    except Exception:
+                        pass
+                if b.startswith(b"\x89PNG"):
+                    # REAL decode path #2: from-scratch zlib+spec PNG
+                    # (functions/png_codec.py); unsupported profiles
+                    # (16-bit, palette, Adam7) fall through to PIL/fake.
+                    try:
+                        from docling_eval_spark.functions.png_codec import (
+                            decode_png,
+                        )
+
+                        arr = decode_png(b)
+                        luma, feat = _luma_features(arr, dim)
+                        rows.append((int(doc_id), arr.shape[1],
+                                     arr.shape[0], luma, feat))
                         continue
                     except Exception:
                         pass
                 if has_pil:
                     try:
                         img = Image.open(io.BytesIO(b)).convert("L")
-                        arr = np.asarray(img, dtype=np.float32)
-                        w, h = img.size
-                        luma = float(arr.mean()) / 255.0
-                        feat = np.resize(arr.mean(axis=0), dim) / 255.0
-                        rows.append((int(doc_id), w, h, luma, feat.tolist()))
+                        arr = np.asarray(img, dtype=np.uint8)
+                        luma, feat = _luma_features(arr, dim)
+                        rows.append((int(doc_id), img.size[0], img.size[1],
+                                     luma, feat))
                         continue
                     except Exception:
                         pass

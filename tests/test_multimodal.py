@@ -97,9 +97,13 @@ class TestPpmDecode:
         meta = with_payload_metadata(df).select("payload_meta.mime").collect()
         assert {r["mime"] for r in meta} == {"image/x-portable-pixmap"}
         feats = {r["doc_id"]: r for r in decode_image_features(df).collect()}
-        # real decode: dimensions come from the PPM header, luma from pixels
+        # real decode: dimensions come from the PPM header, luma from
+        # pixels via PIL's integer ITU-R 601 formula (L24 >> 16)
         assert feats[0]["width"] == 16 and feats[0]["height"] == 8
-        exp_luma = (sum((255 * x) // 15 for x in range(16)) / 16 + 85 + 170) / 3 / 255.0
+        exp_luma = sum(
+            (19595 * ((255 * x) // 15) + 38470 * 85 + 7471 * 170) >> 16
+            for x in range(16)
+        ) / 16 / 255.0
         assert abs(feats[0]["mean_luma"] - exp_luma) < 1e-9
         assert len(feats[0]["embedding"]) == 16
 
