@@ -431,6 +431,246 @@ def _q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_g double, mean_b double").orderBy("doc_id")
 
 
+def _q_textract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS Textract response parser (reference aws_prediction_provider.py
+    convert_aws_output_to_docling :190-310 + process_table :113-188),
+    round 3. Deterministic Textract-shaped JSON synthesized per doc,
+    parsed through the real sources/cloud_ocr.parse_responses Arrow
+    stage: PAGE + LAYOUT_TITLE + k LAYOUT_TEXT + 2 WORDs, and on even
+    docs a 2x2 TABLE whose CELL children carry WORD text. Binary-
+    fraction bboxes keep every scaled coordinate exact; table bboxes
+    stay raw-normalized like the reference."""
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.cloud_ocr import parse_responses
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 400)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0xA15)))
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = d % 3 + 1
+                blocks = [{"Id": "p", "BlockType": "PAGE", "Page": 1},
+                          {"Id": "ti", "BlockType": "LAYOUT_TITLE",
+                           "Text": f"Title {d}",
+                           "Geometry": {"BoundingBox": {
+                               "Left": 0.25, "Top": 0.125,
+                               "Width": 0.5, "Height": 0.25}}}]
+                for i in range(k):
+                    blocks.append({"Id": f"tx{i}", "BlockType": "LAYOUT_TEXT",
+                                   "Text": f"text {d} {i}",
+                                   "Geometry": {"BoundingBox": {
+                                       "Left": (1 + i) / 16, "Top": 0.25,
+                                       "Width": 1 / 16, "Height": 1 / 16}}})
+                for j in range(2):
+                    blocks.append({"Id": f"w{j}", "BlockType": "WORD",
+                                   "Page": 1, "Text": f"w{j} {d}",
+                                   "Geometry": {"BoundingBox": {
+                                       "Left": (8 + j) / 16, "Top": 0.5,
+                                       "Width": 1 / 16, "Height": 1 / 16}}})
+                if d % 2 == 0:
+                    cell_ids = [f"c{r}{c}" for r in range(2) for c in range(2)]
+                    blocks.append({"Id": "tb", "BlockType": "TABLE",
+                                   "Page": 1,
+                                   "Geometry": {"BoundingBox": {
+                                       "Left": 0.25, "Top": 0.5,
+                                       "Width": 0.5, "Height": 0.375}},
+                                   "Relationships": [
+                                       {"Type": "CHILD", "Ids": cell_ids}]})
+                    for r in range(2):
+                        for c in range(2):
+                            blocks.append({
+                                "Id": f"c{r}{c}", "BlockType": "CELL",
+                                "RowIndex": r + 1, "ColumnIndex": c + 1,
+                                "Geometry": {"BoundingBox": {
+                                    "Left": (c + 1) / 8, "Top": (r + 1) / 8,
+                                    "Width": 1 / 8, "Height": 1 / 8}},
+                                "Relationships": [{"Type": "CHILD",
+                                                   "Ids": [f"cw{r}{c}"]}]})
+                    for r in range(2):
+                        for c in range(2):
+                            blocks.append({
+                                "Id": f"cw{r}{c}", "BlockType": "WORD",
+                                "Page": 1, "Text": f"c {d} {r} {c}",
+                                "Geometry": {"BoundingBox": {
+                                    "Left": (c + 1) / 8, "Top": (r + 1) / 8,
+                                    "Width": 1 / 8, "Height": 1 / 8}}})
+                rows.append((d, _json.dumps({"Blocks": blocks}),
+                             float(100 + d % 7), float(200 + d % 5)))
+            yield pd.DataFrame(rows, columns=["doc_id", "response_json",
+                                              "pw", "ph"])
+
+    responses = docs.mapInPandas(
+        synth, schema="doc_id bigint, response_json string, "
+                      "pw double, ph double")
+    items = parse_responses(responses, provider="textract",
+                            page_w_col="pw", page_h_col="ph")
+    return items.select(
+        "doc_id", "item_idx", "kind", "page_no", "label", "text",
+        F.round("l", 6).alias("l"), F.round("t", 6).alias("t"),
+        F.round("r", 6).alias("r"), F.round("b", 6).alias("b"),
+        "row_idx", "col_idx", "column_header", "row_header",
+    ).orderBy("doc_id", "item_idx")
+
+
+_CLOUD_ITEM_COLS = ["doc_id", "item_idx", "kind", "page_no", "label", "text",
+                    "l", "t", "r", "b", "row_idx", "col_idx",
+                    "column_header", "row_header"]
+
+
+def _cloud_items_projection(items: DataFrame) -> DataFrame:
+    return items.select(
+        "doc_id", "item_idx", "kind", "page_no", "label", "text",
+        F.round("l", 6).alias("l"), F.round("t", 6).alias("t"),
+        F.round("r", 6).alias("r"), F.round("b", 6).alias("b"),
+        "row_idx", "col_idx", "column_header", "row_header",
+    ).orderBy("doc_id", "item_idx")
+
+
+def _q_azure_docai_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azure Document Intelligence response parser (reference
+    azure_prediction_provider.py:93-313), round 3: pages+words, tables
+    with header-less cells, role-labeled paragraphs (role cycling
+    through the reference's whole dispatch table), figures. Key style
+    alternates snake/camel per doc to pin the dual-spelling tolerance."""
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.cloud_ocr import parse_responses
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 400)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0xA20)))
+    )
+
+    roles = [None, "title", "sectionHeading", "pageHeader", "pageFooter",
+             "pageNumber"]
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                camel = d % 2 == 1
+                pn = "pageNumber" if camel else "page_number"
+                br = "boundingRegions" if camel else "bounding_regions"
+                resp = {
+                    "pages": [{pn: 1, "width": 8.5, "height": 11.0,
+                               "words": [
+                                   {"content": f"w{j} {d}",
+                                    "polygon": [j + 1, 2, j + 3, 2,
+                                                j + 3, 4, j + 1, 4]}
+                                   for j in range(2)]}],
+                    "paragraphs": [{
+                        "content": f"para {d}",
+                        br: [{pn: 1, "polygon": [0, d % 5, 6, d % 5,
+                                                 6, d % 5 + 1, 0,
+                                                 d % 5 + 1]}],
+                        **({"role": roles[d % 6]} if roles[d % 6] else {}),
+                    }],
+                    "figures": [{br: [
+                        {pn: 1, "polygon": [1, 1, 3, 1, 3, 3, 1, 3]}]}],
+                }
+                if d % 2 == 0:
+                    resp["tables"] = [{
+                        "page_range": {"first_page_number": 1},
+                        "row_count": 2, "column_count": 2,
+                        br: [{"polygon": [0, 0, 4, 0, 4, 4, 0, 4]}],
+                        "cells": [
+                            {"row_index": r, "column_index": c,
+                             "content": f" c {d} {r} {c} ",
+                             br: [{"polygon": [2 * c, 2 * r, 2 * c + 2,
+                                               2 * r, 2 * c + 2, 2 * r + 2,
+                                               2 * c, 2 * r + 2]}]}
+                            for r in range(2) for c in range(2)],
+                    }]
+                rows.append((d, _json.dumps(resp)))
+            yield pd.DataFrame(rows, columns=["doc_id", "response_json"])
+
+    responses = docs.mapInPandas(
+        synth, schema="doc_id bigint, response_json string")
+    return _cloud_items_projection(
+        parse_responses(responses, provider="azure"))
+
+
+def _q_google_docai_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google Document AI response parser (reference
+    google_prediction_provider.py:89-255), round 3: textAnchor segments
+    indexing into the document text (string indices, as MessageToDict
+    emits), paragraph spans, tables with header rows before body rows
+    and max-cells num_cols."""
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.cloud_ocr import parse_responses
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 400)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0xA21)))
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                text = f"head body tail {d}"
+                page = {
+                    "pageNumber": 1,
+                    "dimension": {"width": float(300 + d % 10),
+                                  "height": float(400 + d % 10)},
+                    "paragraphs": [{"layout": {
+                        "textAnchor": {"textSegments": [
+                            {"startIndex": "0",
+                             "endIndex": str(len(text))}]},
+                        "boundingPoly": {"vertices": [
+                            {"x": 1, "y": 2}, {"x": 9, "y": 2},
+                            {"x": 9, "y": 5}, {"x": 1, "y": 5}]}}}],
+                }
+                if d % 3 == 0:
+                    def cell(seg, ri, ci):
+                        return {"layout": {
+                            "textAnchor": {"textSegments": [seg]},
+                            "boundingPoly": {"vertices": [
+                                {"x": 5 * ci, "y": 10 + 10 * ri},
+                                {"x": 5 * ci + 5, "y": 10 + 10 * ri},
+                                {"x": 5 * ci + 5, "y": 20 + 10 * ri},
+                                {"x": 5 * ci, "y": 20 + 10 * ri}]}}}
+
+                    page["tables"] = [{
+                        "layout": {"boundingPoly": {"vertices": [
+                            {"x": 0, "y": 10}, {"x": 20, "y": 10},
+                            {"x": 20, "y": 30}, {"x": 0, "y": 30}]}},
+                        "headerRows": [{"cells": [
+                            cell({"startIndex": 0, "endIndex": 4}, 0, 0),
+                            cell({"startIndex": 5, "endIndex": 9}, 0, 1)]}],
+                        "bodyRows": [{"cells": [
+                            cell({"startIndex": 10, "endIndex": 14}, 1, 0)]}],
+                    }]
+                rows.append((d, _json.dumps({"text": text, "pages": [page]})))
+            yield pd.DataFrame(rows, columns=["doc_id", "response_json"])
+
+    responses = docs.mapInPandas(
+        synth, schema="doc_id bigint, response_json string")
+    return _cloud_items_projection(
+        parse_responses(responses, provider="google"))
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1414,6 +1654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         # --- tier 2: new in round 3 ---
         "png_decode_features": _q_png_decode_features,
+        "textract_spans": _q_textract_spans,
+        "azure_docai_spans": _q_azure_docai_spans,
+        "google_docai_spans": _q_google_docai_spans,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -1632,6 +1875,114 @@ def oracle_sql() -> dict[str, str]:
             "round(cast((doc_id + 85) % 256 AS double), 6) AS mean_g, "
             "round(cast((doc_id + 170) % 256 AS double), 6) AS mean_b "
             "FROM d ORDER BY doc_id"
+        ),
+        "textract_spans": (
+            "WITH d AS (SELECT doc_id, cast(100 + doc_id % 7 AS double) AS w, "
+            "cast(200 + doc_id % 5 AS double) AS h, doc_id % 3 + 1 AS k "
+            "FROM documents WHERE doc_id < 400), "
+            "rows AS ("
+            "SELECT doc_id, 0 AS item_idx, 'page' AS kind, 1 AS page_no, "
+            "NULL AS label, NULL AS text, 0.0 AS l, 0.0 AS t, w AS r, "
+            "h AS b, NULL AS row_idx, NULL AS col_idx, "
+            "NULL AS column_header, NULL AS row_header FROM d "
+            "UNION ALL SELECT doc_id, 1, 'span', 1, 'title', "
+            "'Title ' || doc_id, w/4, h/8, 3*w/4, 3*h/8, "
+            "NULL, NULL, NULL, NULL FROM d "
+            "UNION ALL SELECT doc_id, 2+i, 'span', 1, 'text', "
+            "'text '||doc_id||' '||i, (1+i)*w/16, h/4, (2+i)*w/16, 5*h/16, "
+            "NULL, NULL, NULL, NULL FROM d, unnest(range(0, k)) AS u(i) "
+            "UNION ALL SELECT doc_id, 2+k+j, 'word', 1, NULL, "
+            "'w'||j||' '||doc_id, (8+j)*w/16, h/2, (9+j)*w/16, 9*h/16, "
+            "NULL, NULL, NULL, NULL FROM d, unnest(range(0, 2)) AS v(j) "
+            "UNION ALL SELECT doc_id, 4+k, 'table', 1, 'table', NULL, "
+            "0.25, 0.5, 0.75, 0.875, NULL, NULL, NULL, NULL "
+            "FROM d WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT doc_id, 5+k+2*r+c, 'table_cell', 1, NULL, "
+            "'c '||doc_id||' '||r||' '||c, (c+1)/8.0, (r+1)/8.0, "
+            "(c+2)/8.0, (r+2)/8.0, r, c, r = 0, c = 0 "
+            "FROM d, unnest(range(0, 2)) AS rr(r), "
+            "unnest(range(0, 2)) AS cc(c) WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT doc_id, 9+k+2*r+c, 'word', 1, NULL, "
+            "'c '||doc_id||' '||r||' '||c, (c+1)*w/8, (r+1)*h/8, "
+            "(c+2)*w/8, (r+2)*h/8, NULL, NULL, NULL, NULL "
+            "FROM d, unnest(range(0, 2)) AS rr(r), "
+            "unnest(range(0, 2)) AS cc(c) WHERE doc_id % 2 = 0) "
+            "SELECT doc_id, cast(item_idx AS int) AS item_idx, kind, "
+            "cast(page_no AS int) AS page_no, label, text, "
+            "round(l, 6) AS l, round(t, 6) AS t, round(r, 6) AS r, "
+            "round(b, 6) AS b, cast(row_idx AS int) AS row_idx, "
+            "cast(col_idx AS int) AS col_idx, "
+            "cast(column_header AS boolean) AS column_header, "
+            "cast(row_header AS boolean) AS row_header "
+            "FROM rows ORDER BY doc_id, item_idx"
+        ),
+        "azure_docai_spans": (
+            "WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS ev FROM documents "
+            "WHERE doc_id < 400), "
+            "rows AS ("
+            "SELECT doc_id, 0 AS item_idx, 'page' AS kind, 1 AS page_no, "
+            "NULL AS label, NULL AS text, 0.0 AS l, 0.0 AS t, 8.5 AS r, "
+            "11.0 AS b, NULL AS row_idx, NULL AS col_idx, "
+            "NULL AS column_header, NULL AS row_header FROM d "
+            "UNION ALL SELECT doc_id, 1+j, 'word', 1, NULL, "
+            "'w'||j||' '||doc_id, cast(j+1 AS double), 2.0, "
+            "cast(j+3 AS double), 4.0, NULL, NULL, NULL, NULL "
+            "FROM d, unnest(range(0, 2)) AS u(j) "
+            "UNION ALL SELECT doc_id, 3, 'table', 1, 'table', NULL, "
+            "0.0, 0.0, 4.0, 4.0, NULL, NULL, NULL, NULL FROM d WHERE ev "
+            "UNION ALL SELECT doc_id, 4+2*r+c, 'table_cell', 1, NULL, "
+            "'c '||doc_id||' '||r||' '||c, cast(2*c AS double), "
+            "cast(2*r AS double), cast(2*c+2 AS double), "
+            "cast(2*r+2 AS double), r, c, FALSE, FALSE "
+            "FROM d, unnest(range(0, 2)) AS rr(r), "
+            "unnest(range(0, 2)) AS cc(c) WHERE ev "
+            "UNION ALL SELECT doc_id, CASE WHEN ev THEN 8 ELSE 3 END, "
+            "'span', 1, CASE doc_id % 6 WHEN 1 THEN 'title' "
+            "WHEN 2 THEN 'section_header' WHEN 3 THEN 'page_header' "
+            "WHEN 4 THEN 'page_footer' ELSE 'text' END, "
+            "'para '||doc_id, 0.0, cast(doc_id % 5 AS double), 6.0, "
+            "cast(doc_id % 5 + 1 AS double), NULL, NULL, NULL, NULL FROM d "
+            "UNION ALL SELECT doc_id, CASE WHEN ev THEN 9 ELSE 4 END, "
+            "'span', 1, 'picture', NULL, 1.0, 1.0, 3.0, 3.0, "
+            "NULL, NULL, NULL, NULL FROM d) "
+            "SELECT doc_id, cast(item_idx AS int) AS item_idx, kind, "
+            "cast(page_no AS int) AS page_no, label, text, "
+            "round(l, 6) AS l, round(t, 6) AS t, round(r, 6) AS r, "
+            "round(b, 6) AS b, cast(row_idx AS int) AS row_idx, "
+            "cast(col_idx AS int) AS col_idx, "
+            "cast(column_header AS boolean) AS column_header, "
+            "cast(row_header AS boolean) AS row_header "
+            "FROM rows ORDER BY doc_id, item_idx"
+        ),
+        "google_docai_spans": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 = 0 AS tb, "
+            "cast(300 + doc_id % 10 AS double) AS w, "
+            "cast(400 + doc_id % 10 AS double) AS h "
+            "FROM documents WHERE doc_id < 400), "
+            "rows AS ("
+            "SELECT doc_id, 0 AS item_idx, 'page' AS kind, 1 AS page_no, "
+            "NULL AS label, NULL AS text, 0.0 AS l, 0.0 AS t, w AS r, "
+            "h AS b, NULL AS row_idx, NULL AS col_idx, "
+            "NULL AS column_header, NULL AS row_header FROM d "
+            "UNION ALL SELECT doc_id, 1, 'span', 1, 'text', "
+            "'head body tail ' || doc_id, 1.0, 2.0, 9.0, 5.0, "
+            "NULL, NULL, NULL, NULL FROM d "
+            "UNION ALL SELECT doc_id, 2, 'table', 1, 'table', NULL, "
+            "0.0, 10.0, 20.0, 30.0, NULL, NULL, NULL, NULL FROM d WHERE tb "
+            "UNION ALL SELECT doc_id, 3, 'table_cell', 1, NULL, 'head', "
+            "0.0, 10.0, 5.0, 20.0, 0, 0, TRUE, FALSE FROM d WHERE tb "
+            "UNION ALL SELECT doc_id, 4, 'table_cell', 1, NULL, 'body', "
+            "5.0, 10.0, 10.0, 20.0, 0, 1, TRUE, FALSE FROM d WHERE tb "
+            "UNION ALL SELECT doc_id, 5, 'table_cell', 1, NULL, 'tail', "
+            "0.0, 20.0, 5.0, 30.0, 1, 0, FALSE, TRUE FROM d WHERE tb) "
+            "SELECT doc_id, cast(item_idx AS int) AS item_idx, kind, "
+            "cast(page_no AS int) AS page_no, label, text, "
+            "round(l, 6) AS l, round(t, 6) AS t, round(r, 6) AS r, "
+            "round(b, 6) AS b, cast(row_idx AS int) AS row_idx, "
+            "cast(col_idx AS int) AS col_idx, "
+            "cast(column_header AS boolean) AS column_header, "
+            "cast(row_header AS boolean) AS row_header "
+            "FROM rows ORDER BY doc_id, item_idx"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "
