@@ -671,6 +671,109 @@ def _q_google_docai_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_responses(responses, provider="google"))
 
 
+def _q_otsl_table_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocLayNet-v2 OTSL token-sequence table parse (reference
+    doclaynet_v2_builder.py parse_table_content :234-255 over
+    parse_texts :115-232), round 3. Per doc, a span-bearing 3x3 grid
+    (colspan / rowspan / 2x2-xcel head by doc_id%3, <ched> header row,
+    one <ecel>) is serialized to OTSL, parsed back with the from-scratch
+    parser, AND cross-checked cell-for-cell against its HTML twin
+    through the existing F2 grid machinery — html_match pins the two
+    parsers to the same grid."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 400)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x075)))
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.functions.otsl import (
+            grid_to_otsl,
+            parse_otsl_cells,
+        )
+        from docling_eval_spark.functions.teds import (
+            grid_cells_to_html,
+            html_table_to_grid_cells,
+        )
+
+        def fixture(d: int) -> list[dict]:
+            case = d % 3
+
+            def cell(r, c, rs=1, cs=1, text=None):
+                return {"row": r, "col": c, "rowspan": rs, "colspan": cs,
+                        "text": f"t {d} {r} {c}" if text is None else text}
+
+            if case == 0:
+                spans = [cell(0, 0, 1, 2), cell(0, 2)]
+                rest = [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1)]
+            elif case == 1:
+                spans = [cell(0, 0, 2, 1), cell(0, 1), cell(0, 2)]
+                rest = [(1, 1), (1, 2), (2, 0), (2, 1)]
+            else:
+                spans = [cell(0, 0, 2, 2), cell(0, 2)]
+                rest = [(1, 2), (2, 0), (2, 1)]
+            return (spans + [cell(r, c) for r, c in rest]
+                    + [cell(2, 2, text="")])
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                grid = fixture(d)
+                cells, nr, nc = parse_otsl_cells(
+                    grid_to_otsl(grid, header_rows=1))
+                twin = html_table_to_grid_cells(grid_cells_to_html(grid))
+                match = cells == twin
+                for c in cells:
+                    rows.append((d, c["row"], c["col"], c["rowspan"],
+                                 c["colspan"], c["text"], match, nr, nc))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "row", "col", "rowspan", "colspan", "text",
+                "html_match", "n_rows", "n_cols"])
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, row int, col int, rowspan int, "
+                    "colspan int, text string, html_match boolean, "
+                    "n_rows int, n_cols int"
+    ).orderBy("doc_id", "row", "col")
+
+
+def _q_doclaynet_v2_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocLayNet-v2 key-value graph builder (reference
+    doclaynet_v2_builder.py create_kv_pairs :421-470 +
+    populate_key_value_item :357-417), round 3: native-HOF pair
+    resolution, degree-rule labels (F18), enclosing KV bbox. Fixture:
+    n = doc_id%4+2 segments, odd segment i links to key i-1, one
+    dangling link to a nonexistent id on the last segment when n is
+    odd — every derived quantity closed-form."""
+    from docling_eval_spark.sources.gt_builder import doclaynet_v2_kv
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 400)
+    )
+    n = F.col("doc_id") % 4 + 2
+    idx = F.sequence(F.lit(0), n - 1)
+    fixture = docs.select(
+        "doc_id",
+        F.transform(idx, lambda i: F.concat(F.lit("a"), i))
+        .alias("annotation_ids"),
+        F.transform(idx, lambda i: F.array(
+            i.cast("double"), (i + 10).cast("double"),
+            (i + 5).cast("double"), (i + 20).cast("double"))).alias("boxes"),
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.lit("seg"), F.col("doc_id"), i)).alias("segments"),
+        F.transform(idx, lambda i: F.when(
+            i % 2 == 1, F.concat(F.lit("a"), i - 1)
+        ).when(i == n - 1, F.lit("missing"))).alias("links"),
+    )
+    return doclaynet_v2_kv(fixture).orderBy("doc_id", "cell_id")
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1657,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textract_spans": _q_textract_spans,
         "azure_docai_spans": _q_azure_docai_spans,
         "google_docai_spans": _q_google_docai_spans,
+        "otsl_table_grid": _q_otsl_table_grid,
+        "doclaynet_v2_kv": _q_doclaynet_v2_kv,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -1983,6 +2088,40 @@ def oracle_sql() -> dict[str, str]:
             "cast(column_header AS boolean) AS column_header, "
             "cast(row_header AS boolean) AS row_header "
             "FROM rows ORDER BY doc_id, item_idx"
+        ),
+        "doclaynet_v2_kv": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS n FROM documents "
+            "WHERE doc_id < 400), "
+            "d2 AS (SELECT doc_id, CASE WHEN (n-1) % 2 = 1 THEN n-1 "
+            "ELSE n-2 END AS lastodd FROM d) "
+            "SELECT doc_id, cast(c AS int) AS cell_id, "
+            "'seg ' || doc_id || ' ' || c AS text, "
+            "CASE WHEN c % 2 = 0 THEN 'KEY' ELSE 'VALUE' END AS label, "
+            "cast(c AS double) AS l, cast(c + 10 AS double) AS t, "
+            "cast(c + 5 AS double) AS r, cast(c + 20 AS double) AS b, "
+            "0.0 AS kv_l, 10.0 AS kv_t, cast(lastodd + 5 AS double) AS kv_r, "
+            "cast(lastodd + 20 AS double) AS kv_b "
+            "FROM d2, unnest(range(0, lastodd + 1)) AS u(c) "
+            "ORDER BY doc_id, cell_id"
+        ),
+        "otsl_table_grid": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents "
+            "WHERE doc_id < 400), "
+            "layout(m, row, col, rowspan, colspan) AS (VALUES "
+            "(0,0,0,1,2),(0,0,2,1,1),(0,1,0,1,1),(0,1,1,1,1),(0,1,2,1,1),"
+            "(0,2,0,1,1),(0,2,1,1,1),(0,2,2,1,1),"
+            "(1,0,0,2,1),(1,0,1,1,1),(1,0,2,1,1),(1,1,1,1,1),(1,1,2,1,1),"
+            "(1,2,0,1,1),(1,2,1,1,1),(1,2,2,1,1),"
+            "(2,0,0,2,2),(2,0,2,1,1),(2,1,2,1,1),(2,2,0,1,1),(2,2,1,1,1),"
+            "(2,2,2,1,1)) "
+            "SELECT d.doc_id, cast(l.row AS int) AS row, "
+            "cast(l.col AS int) AS col, cast(l.rowspan AS int) AS rowspan, "
+            "cast(l.colspan AS int) AS colspan, "
+            "CASE WHEN l.row = 2 AND l.col = 2 THEN '' "
+            "ELSE 't '||d.doc_id||' '||l.row||' '||l.col END AS text, "
+            "TRUE AS html_match, 3 AS n_rows, 3 AS n_cols "
+            "FROM d JOIN layout l ON l.m = d.m "
+            "ORDER BY doc_id, row, col"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

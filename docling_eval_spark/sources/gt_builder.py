@@ -521,3 +521,63 @@ def table_records(df: DataFrame, html_col: str = "table_html",
     return df.select(F.col(key).alias("doc_id"),
                      F.col(html_col).alias("table_html")) \
         .mapInPandas(_table_record_batches, schema=TABLE_RECORD_SCHEMA)
+
+
+# -- DocLayNet v2 key-value graph builder -------------------------------------
+
+
+def doclaynet_v2_kv(df: DataFrame, key: str = "doc_id",
+                    ids_col: str = "annotation_ids",
+                    boxes_col: str = "boxes",
+                    segments_col: str = "segments",
+                    links_col: str = "links") -> DataFrame:
+    """DocLayNet-v2 key-value graph ingest (reference
+    doclaynet_v2_builder.py create_kv_pairs :421-470 +
+    populate_key_value_item :357-417), entirely in native higher-order
+    expressions — no Python on the hot path.
+
+    Input columns per doc: annotation ids array<string>, boxes
+    array<array<double>> ([l,t,r,b]), segment texts array<string>, and
+    links array<string> where links[i] names the KEY annotation its
+    segment points at (null = unlinked). Semantics mirrored: a pair
+    exists only when the link target id resolves (reference `links[i]
+    in seg_with_id`); cells dedup by id and are sorted (sort_cell_ids);
+    labels come from the F18 degree rules (classify_cells); the overall
+    KV provenance bbox encloses every linked cell's bbox
+    (get_overall_bbox :327-355).
+    """
+    from ..functions.kv_graph import classify_kv_cells
+
+    ids, boxes = F.col(ids_col), F.col(boxes_col)
+    segs, lnk = F.col(segments_col), F.col(links_col)
+    n = F.size(segs)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+        .otherwise(F.array().cast("array<bigint>"))
+    # value segment i -> key segment at array_position(ids, links[i]);
+    # unresolvable / null links drop out of the pair filter
+    pairs = F.filter(
+        F.transform(idx, lambda i: F.struct(
+            (F.array_position(ids, F.get(lnk, i.cast("int"))) - 1)
+            .cast("int").alias("src"),
+            i.cast("int").alias("tgt"))),
+        lambda p: p["src"] >= 0)
+    cells = F.array_sort(F.array_distinct(F.flatten(
+        F.transform(pairs, lambda p: F.array(p["src"], p["tgt"])))))
+    labeled = classify_kv_cells(cells, pairs)
+    kv_l = F.array_min(F.transform(cells, lambda c: boxes[c][0]))
+    kv_t = F.array_min(F.transform(cells, lambda c: boxes[c][1]))
+    kv_r = F.array_max(F.transform(cells, lambda c: boxes[c][2]))
+    kv_b = F.array_max(F.transform(cells, lambda c: boxes[c][3]))
+    base = df.select(
+        F.col(key), F.col(segments_col), F.col(boxes_col),
+        F.explode(labeled).alias("cell"),
+        kv_l.alias("kv_l"), kv_t.alias("kv_t"),
+        kv_r.alias("kv_r"), kv_b.alias("kv_b"))
+    c = F.col("cell.cell_id")
+    return base.select(
+        key, c.alias("cell_id"),
+        F.col(segments_col)[c].alias("text"),
+        F.col("cell.label").alias("label"),
+        F.col(boxes_col)[c][0].alias("l"), F.col(boxes_col)[c][1].alias("t"),
+        F.col(boxes_col)[c][2].alias("r"), F.col(boxes_col)[c][3].alias("b"),
+        "kv_l", "kv_t", "kv_r", "kv_b")

@@ -144,3 +144,31 @@ def test_pixparse_segmented_pages_model(spark):
     assert (c0["cell_id"], c0["text"], c0["score"]) == (0, "hello", 0.99)
     assert (c0["l"], c0["t"], c0["r"], c0["b"]) == (10.0, 20.0, 40.0, 25.0)
     assert pages[2][0]["text"] == "p2"
+
+
+class TestDocLayNetV2KV:
+    def test_chain_and_dangling_links(self, spark):
+        """Chain a0->a1->a2 exercises the middle-node degree rule
+        (all out-neighbors leaves -> KEY); a dangling link and an
+        unlinked segment must drop out (reference create_kv_pairs
+        guard `links[i] in seg_with_id`)."""
+        from docling_eval_spark.sources.gt_builder import doclaynet_v2_kv
+
+        rows = [(1,
+                 ["a0", "a1", "a2", "a3"],
+                 [[0.0, 0.0, 1.0, 1.0], [2.0, 0.0, 3.0, 1.0],
+                  [4.0, 0.0, 5.0, 1.0], [6.0, 0.0, 7.0, 1.0]],
+                 ["k", "mid", "v", "lonely"],
+                 [None, "a0", "a1", "nope"])]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, annotation_ids array<string>, "
+                  "boxes array<array<double>>, segments array<string>, "
+                  "links array<string>")
+        out = {r["cell_id"]: r for r in doclaynet_v2_kv(df).collect()}
+        assert set(out) == {0, 1, 2}  # a3's dangling link resolves nothing
+        assert out[0]["label"] == "KEY"
+        assert out[1]["label"] == "KEY"  # middle, only out-neighbor is leaf
+        assert out[2]["label"] == "VALUE"
+        assert out[1]["text"] == "mid"
+        # enclosing bbox spans the linked cells only (not a3)
+        assert (out[0]["kv_l"], out[0]["kv_r"]) == (0.0, 5.0)
