@@ -774,6 +774,62 @@ def _q_doclaynet_v2_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doclaynet_v2_kv(fixture).orderBy("doc_id", "cell_id")
 
 
+def _q_cvat_document_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CVAT document reconstruction (reference
+    cvat_dataset_builder.py create_true_document :864-1270 with
+    get_next_provs merges, picture groups, caption/footnote links, list
+    groups, heading levels), round 3. Each doc synthesizes an annotation
+    XML exercising merge + picture/list groups + to_caption/to_footnote
+    + a leveled heading, round-trips it through to_cvat_xml ->
+    parse_cvat_document inside the cvat_document_items Arrow stage."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.cvat import cvat_document_items
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 400)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0xCAC)))
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.sources.cvat import to_cvat_xml
+
+        boxes = [(10, 10, 100, 20), (10, 30, 100, 40), (10, 50, 100, 60),
+                 (10, 70, 100, 120), (10, 130, 100, 140),
+                 (10, 150, 100, 160), (10, 170, 100, 180),
+                 (10, 190, 100, 240), (10, 250, 100, 260),
+                 (10, 270, 100, 280)]
+        labels = ["title", "text", "text", "picture", "caption",
+                  "list_item", "list_item", "table", "footnote",
+                  "section_header"]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                xml = to_cvat_xml(
+                    boxes, labels, f"doc_{d}.png",
+                    reading_order=[0, 1, 3, 5, 7, 9],
+                    polylines=[("merge", [1, 2]), ("to_caption", [3, 4]),
+                               ("group", [5, 6]), ("to_footnote", [7, 8])],
+                    attributes={9: {"level": str(d % 3 + 1)}})
+                texts = [f"Title {d}", f"Body {d} a", f"Body {d} b", "",
+                         f"Cap {d}", f"L {d} 0", f"L {d} 1", f"Tab {d}",
+                         f"F {d}", f"H {d}"]
+                rows.append((d, xml, texts))
+            yield pd.DataFrame(rows, columns=["doc_id", "xml", "texts"])
+
+    fixture = docs.mapInPandas(
+        synth, schema="doc_id bigint, xml string, texts array<string>")
+    items = cvat_document_items(fixture, texts_col="texts")
+    return items.select(
+        "doc_id", "item_idx", "boxid", "label", "kind", "text",
+        "l", "t", "r", "b", "parent_idx", "n_provs", "level",
+    ).orderBy("doc_id", "item_idx")
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1762,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "google_docai_spans": _q_google_docai_spans,
         "otsl_table_grid": _q_otsl_table_grid,
         "doclaynet_v2_kv": _q_doclaynet_v2_kv,
+        "cvat_document_items": _q_cvat_document_items,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2088,6 +2145,40 @@ def oracle_sql() -> dict[str, str]:
             "cast(column_header AS boolean) AS column_header, "
             "cast(row_header AS boolean) AS row_header "
             "FROM rows ORDER BY doc_id, item_idx"
+        ),
+        "cvat_document_items": (
+            "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400), "
+            "it(item_idx, boxid, label, kind, tpl, l, t, r, b, parent_idx, "
+            "n_provs, lvl) AS (VALUES "
+            "(0, 0, 'title', 'text', 'Title #', 10.0, 10.0, 100.0, 20.0, "
+            "NULL, 1, NULL), "
+            "(1, 1, 'text', 'text', 'Body # a Body # b', 10.0, 30.0, "
+            "100.0, 40.0, NULL, 2, NULL), "
+            "(2, 3, 'picture', 'picture', '', 10.0, 70.0, 100.0, 120.0, "
+            "NULL, 1, NULL), "
+            "(3, 4, 'caption', 'text', 'Cap #', 10.0, 130.0, 100.0, 140.0, "
+            "2, 1, NULL), "
+            "(4, -1, 'ordered_list', 'group', '', NULL, NULL, NULL, NULL, "
+            "NULL, 1, NULL), "
+            "(5, 5, 'list_item', 'list_item', 'L # 0', 10.0, 150.0, 100.0, "
+            "160.0, 4, 1, NULL), "
+            "(6, 6, 'list_item', 'list_item', 'L # 1', 10.0, 170.0, 100.0, "
+            "180.0, 4, 1, NULL), "
+            "(7, 7, 'table', 'table', 'Tab #', 10.0, 190.0, 100.0, 240.0, "
+            "NULL, 1, NULL), "
+            "(8, 8, 'footnote', 'text', 'F #', 10.0, 250.0, 100.0, 260.0, "
+            "7, 1, NULL), "
+            "(9, 9, 'section_header', 'heading', 'H #', 10.0, 270.0, "
+            "100.0, 280.0, NULL, 1, -1)) "
+            "SELECT doc_id, cast(item_idx AS int) AS item_idx, "
+            "cast(boxid AS int) AS boxid, label, kind, "
+            "replace(tpl, '#', cast(doc_id AS varchar)) AS text, "
+            "round(l, 6) AS l, round(t, 6) AS t, round(r, 6) AS r, "
+            "round(b, 6) AS b, cast(parent_idx AS int) AS parent_idx, "
+            "cast(n_provs AS int) AS n_provs, "
+            "CASE WHEN lvl = -1 THEN cast(doc_id % 3 + 1 AS int) "
+            "ELSE NULL END AS level "
+            "FROM d, it ORDER BY doc_id, item_idx"
         ),
         "doclaynet_v2_kv": (
             "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS n FROM documents "

@@ -88,3 +88,84 @@ def test_multi_image_export_and_string_keys(spark):
         .orderBy("image").collect()
     assert [(r["task_id"], r["image"], r["label"]) for r in rows] == \
         [("task-9", "p1.png", "a"), ("task-9", "p2.png", "b")]
+
+
+class TestDocumentReconstruction:
+    def _xml(self):
+        from docling_eval_spark.sources.cvat import to_cvat_xml
+
+        boxes = [
+            (10, 10, 100, 20),    # 0 title
+            (10, 30, 100, 40),    # 1 text (merge head)
+            (10, 50, 100, 60),    # 2 text (merge tail)
+            (10, 70, 100, 120),   # 3 picture (group head)
+            (110, 70, 200, 120),  # 4 picture (group tail)
+            (10, 130, 100, 140),  # 5 caption -> picture
+            (10, 150, 100, 160),  # 6 list_item (group head)
+            (10, 170, 100, 180),  # 7 list_item (group tail)
+            (10, 190, 100, 240),  # 8 table
+            (10, 250, 100, 260),  # 9 footnote -> table
+            (10, 270, 100, 280),  # 10 section_header level 3
+            (10, 290, 100, 300),  # 11 caption, UNLINKED
+        ]
+        labels = ["title", "text", "text", "picture", "picture", "caption",
+                  "list_item", "list_item", "table", "footnote",
+                  "section_header", "caption"]
+        return to_cvat_xml(
+            boxes, labels, "doc.png",
+            reading_order=[0, 1, 3, 6, 8, 10, 11],
+            polylines=[("merge", [1, 2]), ("group", [3, 4]),
+                       ("to_caption", [3, 5]), ("group", [6, 7]),
+                       ("to_footnote", [8, 9])],
+            attributes={10: {"level": "3"}},
+        )
+
+    def test_full_reconstruction(self):
+        from docling_eval_spark.sources.cvat import parse_cvat_document
+
+        texts = [f"t{i}" for i in range(12)]
+        items = parse_cvat_document(self._xml(), texts)
+        kinds = [(i["kind"], i["label"]) for i in items]
+        assert kinds == [
+            ("text", "title"), ("text", "text"),
+            ("picture", "picture"), ("text", "caption"),
+            ("group", "ordered_list"), ("list_item", "list_item"),
+            ("list_item", "list_item"), ("table", "table"),
+            ("text", "footnote"), ("heading", "section_header"),
+            ("text", "caption"),
+        ]
+        # merged text joins with a space, extra prov counted
+        assert items[1]["text"] == "t1 t2"
+        assert items[1]["n_provs"] == 2 and items[1]["merged_boxids"] == [2]
+        # picture group: both boxes as provs on ONE picture item
+        assert items[2]["n_provs"] == 2 and items[2]["merged_boxids"] == [4]
+        # caption/footnote attach to their floating item
+        assert items[3]["parent_idx"] == 2 and items[3]["text"] == "t5"
+        assert items[8]["parent_idx"] == 7 and items[8]["text"] == "t9"
+        # list group: one ordered_list group, both members parented to it
+        assert items[5]["parent_idx"] == 4 and items[6]["parent_idx"] == 4
+        # heading level from the box attribute
+        assert items[9]["level"] == 3
+        # the unlinked caption IS emitted standalone (reference warning
+        # path); the linked one was consumed by the picture
+        assert items[10]["boxid"] == 11 and items[10]["parent_idx"] is None
+
+    def test_no_reading_order_drops_document(self):
+        from docling_eval_spark.sources.cvat import parse_cvat_document
+
+        xml = ('<annotations><image id="0" name="x.png" width="10" '
+               'height="10"><box label="text" xtl="1" ytl="1" xbr="5" '
+               'ybr="5"/></image></annotations>')
+        assert parse_cvat_document(xml) == []
+
+    def test_spark_stage(self, spark):
+        from docling_eval_spark.sources.cvat import cvat_document_items
+
+        rows = [(7, self._xml(), [f"t{i}" for i in range(12)])]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, xml string, texts array<string>")
+        out = cvat_document_items(df, texts_col="texts") \
+            .orderBy("item_idx").collect()
+        assert len(out) == 11
+        assert out[1]["text"] == "t1 t2"
+        assert out[4]["kind"] == "group" and out[4]["boxid"] == -1
