@@ -71,86 +71,40 @@ def cmd_create_eval(args) -> None:
     print(f"create-eval: {n} scored rows committed to {args.output}")
 
 
-MODALITIES = ("markdown", "layout", "reading_order", "ocr", "table", "timings")
+from .plans.multi_eval import MODALITIES
 
 
 def cmd_evaluate(args) -> None:
+    from .plans.multi_eval import evaluate_modality
     from .plans.report import write_evaluation_json
 
     spark = _spark(args.cpus)
     m = args.modality
-    if m == "markdown":
-        from .plans.pipeline import flagship_rollup
-
-        scored = spark.read.parquet(args.input)
-        roll = flagship_rollup(scored).collect()[0].asDict()
-    elif m == "layout":
-        from .plans.layout_eval import per_image_metrics
-
-        from pyspark.sql import functions as F
-
-        per = per_image_metrics(spark, args.from_documents)
-        roll = per.agg(
-            F.count("*").alias("total"),
-            F.round(F.avg("map"), 6).alias("mean_map"),
-            F.round(F.avg("mask_f1"), 6).alias("mean_mask_f1"),
-        ).collect()[0].asDict()
-        from .plans.layout_eval import layout_rollups
-
-        # one COCO-matching pass feeds both the corpus mAP row and the
-        # consolidator's class_<label> columns (consolidator.py:214-217)
-        rolls = layout_rollups(spark, args.from_documents)
-        roll.update(rolls["map"].collect()[0].asDict())
-        roll.update({f"class_{r['label']}": r["ap"]
-                     for r in rolls["class_ap"].collect()})
-    elif m == "reading_order":
-        from .plans.reading_order_eval import reading_order_rollup, reading_order_scores
-
-        roll = reading_order_rollup(
-            reading_order_scores(spark, args.from_documents)).collect()[0].asDict()
-    elif m == "ocr":
-        from pyspark.sql import functions as F
-
-        from .plans.ocr_eval import ocr_rollup, ocr_scores, page_ocr_scores
-
-        roll = ocr_rollup(ocr_scores(spark, args.from_documents)).collect()[0].asDict()
-        # page-granular pass (reference ocr_evaluator.py:150-162 model)
-        page = page_ocr_scores(spark, args.from_documents).agg(
-            F.count("*").alias("total_pages"),
-            F.round(F.avg("char_accuracy"), 6).alias("page_mean_char_accuracy"),
-        ).collect()[0].asDict()
-        roll.update(page)
-    elif m == "table":
-        from .plans.table_eval import delta_histogram, teds_rollup, teds_scores
-
-        # ONE persisted execution of the TEDS-scoring stage feeds both
-        # the rollup and the full -10..10 delta histogram
-        # (table_evaluator.py:51-90), flattened as delta_*_<d> counters
-        scores = teds_scores(spark, args.from_documents).persist()
-        try:
-            roll = teds_rollup(scores).collect()[0].asDict()
-            for r in delta_histogram(scores).collect():
-                if r["n_rows"] or r["n_cols"] or r["delta"] == 0:
-                    roll[f"delta_rows_{r['delta']}"] = r["n_rows"]
-                    roll[f"delta_cols_{r['delta']}"] = r["n_cols"]
-        finally:
-            scores.unpersist()
-    elif m == "timings":
-        from .plans.report import docs_table, timings_stats, with_synthetic_timings
-
-        rows = timings_stats(
-            with_synthetic_timings(docs_table(spark, args.from_documents))
-        ).collect()
-        roll = {}
-        for r in rows:
-            for c in ("total", "mean_sec", "median_sec", "std_sec"):
-                roll[f"{r['stage']}_{c}"] = r[c]
-    else:
-        raise SystemExit(f"unknown modality {m}")
+    roll = evaluate_modality(spark, m, from_documents=args.from_documents,
+                             scored_input=args.input)
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, f"evaluation_{args.benchmark}_{m}.json")
     write_evaluation_json(roll, out, benchmark=args.benchmark, modality=m)
     print(f"evaluate: {m} -> {out}")
+
+
+def cmd_multi_evaluate(args) -> None:
+    """Benchmark x experiment x modality grid with skip-if-exists dataset
+    builds and cached-evaluation reuse (reference multi_evalutor.py
+    :142-282), feeding the consolidator's directory layout."""
+    from .plans.multi_eval import multi_evaluate
+
+    spark = _spark(args.cpus)
+    benchmarks = {}
+    for spec in args.benchmarks.split(","):
+        name, _, docs = spec.partition("=")
+        benchmarks[name] = docs
+    result = multi_evaluate(
+        spark, args.root_dir, benchmarks,
+        experiments=args.experiments.split(","),
+        modalities=tuple(args.modalities.split(",")),
+        partitions=args.partitions)
+    print(f"multi-evaluate: {json.dumps(result['stats'])}")
 
 
 def cmd_score_files(args) -> None:
@@ -278,6 +232,15 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--benchmark", default="synthetic")
     v.add_argument("--output-dir", required=True)
     v.set_defaults(fn=cmd_evaluate)
+
+    me = sub.add_parser("multi-evaluate")
+    me.add_argument("--root-dir", required=True)
+    me.add_argument("--benchmarks", required=True,
+                    help="name=documents_dir[,name=documents_dir...]")
+    me.add_argument("--experiments", default="spark")
+    me.add_argument("--modalities", default=",".join(MODALITIES))
+    me.add_argument("--partitions", type=int, default=16)
+    me.set_defaults(fn=cmd_multi_evaluate)
 
     p = sub.add_parser("score-files")
     p.add_argument("--pred-dir", required=True)

@@ -53,15 +53,27 @@ def load_evaluation_dir(spark: SparkSession, root: str,
     construction — so the walk is driver-side, like the reference's
     MultiEvaluation loader (aggregations/multi_evalutor.py)."""
     rows = []
-    for fn in sorted(glob.glob(os.path.join(root, "*", "evaluation_*.json"))):
+    files = sorted(
+        set(glob.glob(os.path.join(root, "*", "evaluation_*.json")))
+        # multi-evaluate layout: root/<benchmark>/<experiment>/...
+        | set(glob.glob(os.path.join(root, "*", "*",
+                                     "evaluation_*.json"))))
+    for fn in files:
         experiment = os.path.basename(os.path.dirname(fn))
         with open(fn) as f:
             doc = json.load(f)
-        for metric, value in sorted(doc.get("evaluation", {}).items()):
-            if isinstance(value, (int, float)) and not isinstance(value, bool):
-                rows.append((doc.get("benchmark", "unknown"), provider,
-                             experiment, doc.get("modality", "unknown"),
-                             metric, float(value), None))
+        metrics = {
+            m: float(v) for m, v in doc.get("evaluation", {}).items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)}
+        # pair <metric>_std with <metric> so stat metrics format as
+        # mean±std like the reference Consolidator (consolidator.py
+        # :25-32); a *_std without its mean stays a plain metric
+        stds = {m[:-4]: metrics.pop(m) for m in list(metrics)
+                if m.endswith("_std") and m[:-4] in metrics}
+        for metric, value in sorted(metrics.items()):
+            rows.append((doc.get("benchmark", "unknown"), provider,
+                         experiment, doc.get("modality", "unknown"),
+                         metric, value, stds.get(metric)))
     return spark.createDataFrame(rows, EVAL_ROW_SCHEMA)
 
 

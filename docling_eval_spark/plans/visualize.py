@@ -66,3 +66,93 @@ def visualize_sample(scored: DataFrame, out_dir: str, n: int = 8) -> list[str]:
             f.write(page)
         paths.append(p)
     return paths
+
+
+# -- SVG layout overlay (reference visualisation/visualisations.py) -----------
+#
+# The reference draws GT/pred cluster boxes onto the page images (PIL).
+# No image codecs are needed for the rebuild's equivalent: boxes are
+# rendered as an SVG overlay in page coordinates — same side-by-side
+# GT-vs-prediction cluster view, zero raster dependencies. Page images,
+# when present as binary columns, could be inlined as a data URI behind
+# the boxes; here the canvas is the page rectangle itself.
+
+_LABEL_COLORS = {
+    "text": "#1f77b4", "title": "#d62728", "section_header": "#ff7f0e",
+    "table": "#2ca02c", "picture": "#9467bd", "caption": "#8c564b",
+    "list_item": "#e377c2", "footnote": "#7f7f7f", "formula": "#bcbd22",
+    "page_header": "#17becf", "page_footer": "#17becf",
+}
+
+
+def svg_overlay(page_w: float, page_h: float, boxes,
+                stroke_default: str = "#333") -> str:
+    """Boxes -> one SVG element in page coordinates. Each box is a dict
+    (or Row) with label, l, t, r, b and an optional score; the label is
+    drawn at the box's top-left like the reference's cluster legend."""
+    parts = [
+        f'<svg viewBox="0 0 {page_w:g} {page_h:g}" '
+        f'xmlns="http://www.w3.org/2000/svg" '
+        f'style="background:#fff;border:1px solid #ccc;max-width:100%">'
+    ]
+    for b in boxes:
+        label = b["label"] or ""
+        color = _LABEL_COLORS.get(label, stroke_default)
+        x, y = float(b["l"]), float(b["t"])
+        w = max(float(b["r"]) - x, 0.0)
+        h = max(float(b["b"]) - y, 0.0)
+        title = label
+        try:
+            if b["score"] is not None:
+                title = f"{label} {float(b['score']):.2f}"
+        except (KeyError, ValueError, TypeError):
+            pass
+        parts.append(
+            f'<rect x="{x:g}" y="{y:g}" width="{w:g}" height="{h:g}" '
+            f'fill="{color}" fill-opacity="0.12" stroke="{color}" '
+            f'stroke-width="1.5"/>'
+            f'<text x="{x:g}" y="{max(y - 2.0, 8.0):g}" font-size="9" '
+            f'fill="{color}">{html.escape(title)}</text>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+_LAYOUT_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>{doc_id}</title><style>
+body {{ font-family: sans-serif; margin: 1rem; }}
+.cols {{ display: flex; gap: 1rem; }}
+.col {{ flex: 1; }}
+</style></head><body>
+<h2>{doc_id} — layout overlay</h2>
+<div class="cols">
+<div class="col"><h3>ground truth</h3>{gt_svg}</div>
+<div class="col"><h3>prediction</h3>{pred_svg}</div>
+</div>
+</body></html>"""
+
+
+def visualize_layout_sample(pairs: DataFrame, out_dir: str, n: int = 8,
+                            page_w_col: str = "page_width",
+                            page_h_col: str = "page_height",
+                            gt_col: str = "gt_boxes",
+                            pred_col: str = "pred_boxes") -> list[str]:
+    """Write up to n side-by-side GT/pred SVG overlay pages; returns the
+    file paths. Expects per-doc box arrays of struct<label,l,t,r,b[,
+    score]>. Sampled + collected like visualize_sample — never run over
+    the full corpus."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = pairs.select("doc_id", page_w_col, page_h_col,
+                        gt_col, pred_col).limit(n).collect()
+    paths = []
+    for r in rows:
+        page = _LAYOUT_PAGE.format(
+            doc_id=r["doc_id"],
+            gt_svg=svg_overlay(r[page_w_col], r[page_h_col],
+                               r[gt_col] or []),
+            pred_svg=svg_overlay(r[page_w_col], r[page_h_col],
+                                 r[pred_col] or []))
+        p = os.path.join(out_dir, f"layout_{r['doc_id']}.html")
+        with open(p, "w") as f:
+            f.write(page)
+        paths.append(p)
+    return paths

@@ -81,3 +81,60 @@ def test_export_value_formats():
 
     assert export_value(0.916) == "0.92"
     assert export_value(0.5, 0.25) == "0.50±0.25"
+
+
+class TestMultiEvaluate:
+    def test_grid_with_cache_reuse(self, spark, sf_dir, tmp_path):
+        """Two benchmarks x one experiment x two modalities: first run
+        builds everything; second run must hit the cached sidecars and
+        skip the dataset builds (reference multi_evalutor.py:201-213,
+        268-273 semantics)."""
+        from docling_eval_spark.plans.consolidation import (
+            consolidation_matrices,
+            load_evaluation_dir,
+        )
+        from docling_eval_spark.plans.multi_eval import multi_evaluate
+
+        root = str(tmp_path / "multi")
+        benchmarks = {"bench_a": sf_dir, "bench_b": sf_dir}
+        mods = ["reading_order", "timings"]
+        r1 = multi_evaluate(spark, root, benchmarks, ["spark"], mods,
+                            partitions=4)
+        assert r1["stats"] == {"gt_built": 2, "preds_built": 2,
+                               "computed": 4, "cached": 0}
+        r2 = multi_evaluate(spark, root, benchmarks, ["spark"], mods,
+                            partitions=4)
+        assert r2["stats"] == {"gt_built": 0, "preds_built": 0,
+                               "computed": 0, "cached": 4}
+        # cached rolls identical to the computed ones
+        assert r2["evaluations"] == r1["evaluations"]
+        # sidecar layout feeds the consolidator (two-level glob)
+        rows = load_evaluation_dir(spark, root)
+        matrices = consolidation_matrices(rows)
+        assert set(matrices) == {"reading_order", "timings"}
+        ro = matrices["reading_order"]
+        assert sorted(ro["Benchmark"]) == ["bench_a", "bench_b"]
+
+    def test_std_metrics_pair_as_mean_std(self, spark, tmp_path):
+        """ADVICE: <metric>_std sidecar fields must pair with their mean
+        into the reference's 'mean±std' format instead of surfacing as
+        separate columns."""
+        import json
+        import os
+
+        from docling_eval_spark.plans.consolidation import (
+            consolidation_matrices,
+            load_evaluation_dir,
+        )
+
+        exp_dir = tmp_path / "exp1"
+        os.makedirs(exp_dir)
+        with open(exp_dir / "evaluation_b_markdown.json", "w") as f:
+            json.dump({"benchmark": "b", "modality": "markdown",
+                       "evaluation": {"bleu": 0.5, "bleu_std": 0.25,
+                                      "lonely_std": 0.125}}, f)
+        rows = load_evaluation_dir(spark, str(tmp_path))
+        m = consolidation_matrices(rows)["markdown"]
+        assert m["bleu"][0] == "0.50±0.25"
+        assert "bleu_std" not in m.columns
+        assert m["lonely_std"][0] == "0.12"  # no mean to pair with

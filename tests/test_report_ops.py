@@ -87,3 +87,39 @@ class TestVisualizeSink:
         assert "byte_identical: True" in body
         assert "ground truth" in body and "extracted" in body
         assert "<table>" in body  # span feature table rendered
+
+
+class TestSvgOverlay:
+    def test_layout_overlay_html(self, spark, tmp_path):
+        from docling_eval_spark.plans.visualize import (
+            svg_overlay,
+            visualize_layout_sample,
+        )
+
+        svg = svg_overlay(200.0, 100.0, [
+            {"label": "table", "l": 10.0, "t": 20.0, "r": 60.0, "b": 80.0,
+             "score": 0.87},
+            {"label": "unknown_label", "l": 0, "t": 0, "r": 5, "b": 5},
+        ])
+        assert 'viewBox="0 0 200 100"' in svg
+        assert '<rect x="10" y="20" width="50" height="60"' in svg
+        assert "table 0.87" in svg  # score drawn in the legend text
+        assert svg.count("<rect") == 2
+
+        rows = [(1, 200.0, 100.0,
+                 [("title", 1.0, 2.0, 50.0, 10.0, None)],
+                 [("title", 1.5, 2.5, 49.0, 11.0, 0.9)])]
+        schema = ("doc_id bigint, page_width double, page_height double, "
+                  "gt_boxes array<struct<label:string,l:double,t:double,"
+                  "r:double,b:double,score:double>>, "
+                  "pred_boxes array<struct<label:string,l:double,t:double,"
+                  "r:double,b:double,score:double>>")
+        df = spark.createDataFrame(rows, schema)
+        paths = visualize_layout_sample(df, str(tmp_path))
+        assert len(paths) == 1
+        content = open(paths[0]).read()
+        # both panels present, with box coordinates and labels
+        assert content.count("<svg") == 2
+        assert '<rect x="1" y="2"' in content
+        assert '<rect x="1.5" y="2.5"' in content
+        assert "title 0.90" in content
