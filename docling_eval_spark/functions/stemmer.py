@@ -1,15 +1,39 @@
-"""Porter stemmer — from-scratch implementation of the original algorithm
-(M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980).
+"""Porter stemmer — from-scratch, two modes.
 
 This is METEOR's stage-2 matcher (the reference's nltk meteor_score uses
 PorterStemmer for its stem-alignment stage, markdown_text_evaluator.py
-:230). Implemented directly from the published rule tables; no external
+:230). Implemented directly from the published sources; no external
 corpora needed.
+
+  mode="original": M.F. Porter, "An algorithm for suffix stripping",
+    Program 14(3), 1980 — the published rule tables verbatim.
+  mode="nltk" (default, matching the reference): nltk's PorterStemmer
+    runs in NLTK_EXTENSIONS mode, which intentionally departs from the
+    1980 paper. The deviations, mirrored from the public nltk source
+    (nltk/stem/porter.py): an irregular-forms pool (sky/dying/news/...),
+    'ies'->'ie' and 'ied'->'ie' for 4-letter words ('i' otherwise),
+    step-1c y->i only after a consonant (not merely when the stem has a
+    vowel), 'bli'->'ble' in place of 'abli'->'able' plus 'fulli'->'ful'
+    and the alli-first re-application in step 2, and the 2-letter
+    vowel-consonant CVC extension.
 """
 
 from __future__ import annotations
 
 _VOWELS = frozenset("aeiou")
+
+# NLTK_EXTENSIONS irregular-forms pool (nltk/stem/porter.py): these words
+# bypass the rules entirely
+_POOL: dict[str, str] = {}
+for _stem, _words in {
+    "sky": ["sky", "skies"], "die": ["dying"], "lie": ["lying"],
+    "tie": ["tying"], "news": ["news"], "inning": ["innings", "inning"],
+    "outing": ["outings", "outing"], "canning": ["cannings", "canning"],
+    "howe": ["howe"], "proceed": ["proceed"], "exceed": ["exceed"],
+    "succeed": ["succeed"],
+}.items():
+    for _w in _words:
+        _POOL[_w] = _stem
 
 
 def _is_cons(w: str, i: int) -> bool:
@@ -46,8 +70,11 @@ def _ends_double_cons(w: str) -> bool:
     return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
 
 
-def _ends_cvc(w: str) -> bool:
-    """*o: ends consonant-vowel-consonant, final consonant not w, x, y."""
+def _ends_cvc(w: str, nltk: bool = False) -> bool:
+    """*o: ends consonant-vowel-consonant, final consonant not w, x, y.
+    NLTK extension: 2-letter vowel-consonant words also qualify."""
+    if nltk and len(w) == 2:
+        return not _is_cons(w, 0) and _is_cons(w, 1)
     if len(w) < 3:
         return False
     return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
@@ -83,13 +110,33 @@ def _longest_rule(w: str, rules) -> tuple[str, str] | None:
     return best
 
 
-def porter_stem(word: str) -> str:
+def _step2(w: str, nltk: bool) -> str:
+    if nltk and w.endswith("alli") and _measure(w[:-4]) > 0:
+        # NLTK applies ALLI -> AL first and re-runs step 2 on the result
+        return _step2(w[:-4] + "al", nltk)
+    rules = list(_STEP2)
+    if nltk:
+        rules = [("bli", "ble") if r == ("abli", "able") else r
+                 for r in rules]
+        rules.append(("fulli", "ful"))
+    r = _longest_rule(w, rules)
+    if r and _measure(w[: len(w) - len(r[0])]) > 0:
+        return w[: len(w) - len(r[0])] + r[1]
+    return w
+
+
+def porter_stem(word: str, mode: str = "nltk") -> str:
+    nltk = mode == "nltk"
     w = word.lower()
+    if nltk and w in _POOL:
+        return _POOL[w]
     if len(w) <= 2:
         return w
 
     # Step 1a
-    if w.endswith("sses"):
+    if nltk and w.endswith("ies") and len(w) == 4:
+        w = w[:-3] + "ie"
+    elif w.endswith("sses"):
         w = w[:-2]
     elif w.endswith("ies"):
         w = w[:-2]
@@ -100,7 +147,9 @@ def porter_stem(word: str) -> str:
 
     # Step 1b
     flag_1b = False
-    if w.endswith("eed"):
+    if nltk and w.endswith("ied"):
+        w = w[:-3] + ("ie" if len(w) == 4 else "i")
+    elif w.endswith("eed"):
         if _measure(w[:-3]) > 0:
             w = w[:-1]
     elif w.endswith("ed") and _has_vowel(w[:-2]):
@@ -114,17 +163,19 @@ def porter_stem(word: str) -> str:
             w += "e"
         elif _ends_double_cons(w) and w[-1] not in "lsz":
             w = w[:-1]
-        elif _measure(w) == 1 and _ends_cvc(w):
+        elif _measure(w) == 1 and _ends_cvc(w, nltk):
             w += "e"
 
-    # Step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
-        w = w[:-1] + "i"
+    # Step 1c (NLTK: y -> i only after a consonant, stem longer than 1)
+    if w.endswith("y"):
+        if nltk:
+            if len(w) > 2 and _is_cons(w, len(w) - 2):
+                w = w[:-1] + "i"
+        elif _has_vowel(w[:-1]):
+            w = w[:-1] + "i"
 
     # Step 2
-    r = _longest_rule(w, _STEP2)
-    if r and _measure(w[: len(w) - len(r[0])]) > 0:
-        w = w[: len(w) - len(r[0])] + r[1]
+    w = _step2(w, nltk)
 
     # Step 3
     r = _longest_rule(w, _STEP3)
@@ -142,7 +193,7 @@ def porter_stem(word: str) -> str:
     # Step 5a
     if w.endswith("e"):
         m = _measure(w[:-1])
-        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1], nltk)):
             w = w[:-1]
 
     # Step 5b

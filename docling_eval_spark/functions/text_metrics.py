@@ -155,13 +155,14 @@ def _align_stage(pred_tokens: Sequence[str], true_tokens: Sequence[str],
                  pairs: list, used_pred: set, used_true: set,
                  key) -> None:
     """One injective greedy alignment stage over the not-yet-matched
-    tokens, matching on key(token); extends pairs/used in place."""
+    tokens, matching on key(token); extends pairs/used in place. A None
+    key never matches (tokens outside a stage's vocabulary)."""
     true_positions: dict[str, list[int]] = {}
     for j, t in enumerate(true_tokens):
-        if j not in used_true:
+        if j not in used_true and key(t) is not None:
             true_positions.setdefault(key(t), []).append(j)
     for i, p in enumerate(pred_tokens):
-        if i in used_pred:
+        if i in used_pred or key(p) is None:
             continue
         for j in true_positions.get(key(p), ()):
             if j not in used_true:
@@ -171,24 +172,66 @@ def _align_stage(pred_tokens: Sequence[str], true_tokens: Sequence[str],
                 break
 
 
+# METEOR stage-3 synonym table. The reference's nltk meteor_score uses
+# WordNet synsets; that corpus is absent here, so the stage ships with a
+# SMALL built-in table of unambiguous common-English synonym groups — a
+# documented subset deviation (same mechanism, reduced vocabulary) —
+# and accepts a full table via the `synonyms` parameter when one is
+# available.
+_SYNONYM_GROUPS: list[list[str]] = [
+    ["big", "large"], ["small", "little"], ["quick", "fast", "rapid"],
+    ["begin", "start", "commence"], ["end", "finish", "conclude"],
+    ["buy", "purchase"], ["car", "automobile"],
+    ["happy", "glad", "joyful"], ["sad", "unhappy"],
+    ["smart", "intelligent", "clever"], ["house", "home"],
+    ["speak", "talk"], ["look", "see", "view"], ["help", "assist", "aid"],
+    ["show", "display"], ["make", "create", "build"],
+    ["error", "mistake", "fault"], ["answer", "reply", "response"],
+    ["question", "query"], ["choose", "select", "pick"],
+    ["near", "close"], ["far", "distant"], ["old", "ancient"],
+    ["new", "novel"], ["correct", "right", "accurate"],
+    ["wrong", "incorrect"], ["easy", "simple"], ["hard", "difficult"],
+    ["important", "significant"], ["use", "utilize", "employ"],
+    ["need", "require"], ["get", "obtain", "acquire"],
+    ["keep", "retain"], ["stop", "halt", "cease"],
+    ["rise", "increase", "grow"], ["fall", "decrease", "drop", "decline"],
+    ["whole", "entire", "complete"], ["part", "portion", "segment"],
+    ["many", "numerous"], ["few", "scarce"],
+]
+
+_DEFAULT_SYNONYMS: dict[str, int] = {
+    w: gid for gid, group in enumerate(_SYNONYM_GROUPS) for w in group
+}
+
+
+def synonym_table(groups: Sequence[Sequence[str]]) -> dict[str, int]:
+    """Build a word -> group-id table for meteor_score(synonyms=...)."""
+    return {w.lower(): gid for gid, group in enumerate(groups)
+            for w in group}
+
+
 def meteor_score(pred_tokens: Sequence[str], true_tokens: Sequence[str],
-                 alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """METEOR with exact + Porter-stem alignment stages.
+                 alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+                 synonyms: "dict[str, int] | None" = None) -> float:
+    """METEOR with exact + Porter-stem + synonym alignment stages.
 
     Standard formulation (Banerjee & Lavie 2005; nltk parameters):
       P = m/|pred|, R = m/|true|, Fmean = P*R / (alpha*P + (1-alpha)*R)
       penalty = gamma * (chunks/m)^beta ;  score = Fmean * (1 - penalty)
     Alignment mirrors nltk's staged matcher (the reference's
-    markdown_text_evaluator.py:230): stage 1 exact tokens, stage 2 Porter
-    stems over the remaining unmatched tokens (functions/stemmer.py —
-    from-scratch Porter 1980). The WordNet synonym stage needs an
-    external corpus and stays out of scope (documented deviation).
+    markdown_text_evaluator.py:230): stage 1 exact tokens, stage 2
+    Porter stems over the remaining unmatched tokens (functions/
+    stemmer.py, NLTK_EXTENSIONS mode like the reference), stage 3
+    synonym groups (the reference uses WordNet synsets; the built-in
+    table is a small public subset — documented deviation — and a full
+    word -> group-id table can be passed via `synonyms`).
     chunks = number of maximal runs of matches adjacent in BOTH orders.
     """
     if not pred_tokens or not true_tokens:
         return 0.0
     from .stemmer import porter_stem
 
+    syn = _DEFAULT_SYNONYMS if synonyms is None else synonyms
     pairs: list[tuple[int, int]] = []  # (pred_idx, true_idx)
     used_pred: set[int] = set()
     used_true: set[int] = set()
@@ -196,6 +239,8 @@ def meteor_score(pred_tokens: Sequence[str], true_tokens: Sequence[str],
                  key=lambda w: w)
     _align_stage(pred_tokens, true_tokens, pairs, used_pred, used_true,
                  key=porter_stem)
+    _align_stage(pred_tokens, true_tokens, pairs, used_pred, used_true,
+                 key=lambda w: syn.get(w.lower()))
     m = len(pairs)
     if m == 0:
         return 0.0

@@ -36,7 +36,38 @@ def test_porter_published_vectors():
         "cease": "ceas", "controll": "control", "roll": "roll",
     }
     for w, expect in vectors.items():
-        assert porter_stem(w) == expect, (w, porter_stem(w), expect)
+        got = porter_stem(w, mode="original")
+        assert got == expect, (w, got, expect)
+
+
+def test_nltk_extensions_deviations():
+    """NLTK_EXTENSIONS mode (the reference's meteor stemmer) departs
+    from Porter 1980 on documented cases (nltk/stem/porter.py)."""
+    from docling_eval_spark.functions.stemmer import porter_stem
+
+    # irregular-forms pool
+    for w, s in [("dying", "die"), ("lying", "lie"), ("tying", "tie"),
+                 ("skies", "sky"), ("sky", "sky"), ("news", "news"),
+                 ("innings", "inning"), ("proceed", "proceed")]:
+        assert porter_stem(w) == s, (w, porter_stem(w))
+    # 4-letter ies -> ie (vs 1980's bare 'i')
+    assert porter_stem("ties") == "tie"
+    assert porter_stem("ties", mode="original") == "ti"
+    assert porter_stem("dies") == "die"
+    # ied: 'ie' at 4 letters, 'i' beyond
+    assert porter_stem("died") == "die"
+    assert porter_stem("studied") == "studi"
+    # modified 1c: y -> i only after a consonant
+    assert porter_stem("enjoy") == "enjoy"
+    assert porter_stem("enjoy", mode="original") == "enjoi"
+    assert porter_stem("crying") == "cri"
+    # fulli -> ful extension chains into step 3/5
+    assert porter_stem("gratefully") == "grate"
+    assert porter_stem("gratefully", mode="original") == "gratefulli"
+    # both modes agree on ordinary vocabulary
+    for w in ["running", "caresses", "happiness", "relational",
+              "adjustment", "effective"]:
+        assert porter_stem(w) == porter_stem(w, mode="original")
 
 
 def test_meteor_stem_stage_matches_inflections():

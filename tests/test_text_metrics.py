@@ -177,3 +177,28 @@ class TestDoctags:
         s = "<text><loc_1><loc_2>missing locs</text><text><loc_1><loc_2><loc_3><loc_4>ok</text>"
         spans = parse_doctags(s)
         assert len(spans) == 1 and spans[0].text == "ok"
+
+
+def test_meteor_synonym_stage():
+    """Verdict item: synonym alignment moves the score in the
+    reference-predicted direction (WordNet-stage analog over the
+    built-in subset table)."""
+    from docling_eval_spark.functions.text_metrics import (
+        meteor_score,
+        synonym_table,
+    )
+
+    pred = "the automobile is large".split()
+    true = "the car is big".split()
+    with_syn = meteor_score(pred, true)
+    without_syn = meteor_score(pred, true, synonyms={})
+    assert with_syn > without_syn  # automobile~car, large~big matched
+    # all four tokens aligned -> recall/precision 1, only penalty < 1
+    assert with_syn > 0.9
+    # custom table: plug a domain synonym pair
+    custom = synonym_table([["spark", "flink"]])
+    assert meteor_score(["spark"], ["flink"], synonyms=custom) > 0
+    assert meteor_score(["spark"], ["flink"], synonyms={}) == 0.0
+    # identical sentences unaffected by the synonym stage
+    s = "alpha beta gamma".split()
+    assert meteor_score(s, s) == meteor_score(s, s, synonyms={})
