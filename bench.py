@@ -121,12 +121,17 @@ def _run_group(group: str, sf_dir: str, cpus: int) -> None:
         out["docs_per_sec_steady_state"] = round(s_sum["n_docs"] / t_steady, 2)
     else:
         qs = entrymod.queries()
-        # warmup the Python-worker pool once per session on the smallest SF
-        qs[GROUPS[group][0]](spark, "/root/testdata/sf0.001").collect()
+        # warm EVERY query in the group at the smallest SF first: a fresh
+        # JVM needs the whole-stage-codegen + C2-JIT + Python-worker pool
+        # hot before timing, else light queries measure JIT, not work
+        for name in GROUPS[group]:
+            qs[name](spark, "/root/testdata/sf0.001").collect()
+        spark.catalog.clearCache()
         timings = {}
         for name in GROUPS[group]:
             timings[name] = round(
-                _timed(spark, lambda n=name: qs[n](spark, sf_dir).collect()), 3)
+                _timed(spark, lambda n=name: qs[n](spark, sf_dir).collect(),
+                       runs=3 if group == "sql" else 2), 3)
         out["timings"] = timings
 
     print("BENCH_PARTIAL " + json.dumps(out), flush=True)
