@@ -830,6 +830,22 @@ def _q_cvat_document_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "item_idx")
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    round 3): k-gram polynomial rolling hash + rightmost-window-minimum
+    selection, vectorized numpy per Arrow batch; the oracle re-derives
+    every selected (pos, fp) with DuckDB list arithmetic — any hash,
+    tie-break, or dedup divergence flips the row set."""
+    from docling_eval_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").where(F.col("doc_id") < 300)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x717)))
+    )
+    return winnow_fingerprints(docs).orderBy("doc_id", "pos")
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1819,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsl_table_grid": _q_otsl_table_grid,
         "doclaynet_v2_kv": _q_doclaynet_v2_kv,
         "cvat_document_items": _q_cvat_document_items,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2145,6 +2162,27 @@ def oracle_sql() -> dict[str, str]:
             "cast(column_header AS boolean) AS column_header, "
             "cast(row_header AS boolean) AS row_header "
             "FROM rows ORDER BY doc_id, item_idx"
+        ),
+        "winnow_fingerprints": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id < 300 AND strlen(text) >= 8), "
+            "h AS (SELECT doc_id, list_transform(range(0, strlen(text) - 4),"
+            " i -> (ascii(substr(text, cast(i+1 AS int), 1)) * 923521 "
+            "+ ascii(substr(text, cast(i+2 AS int), 1)) * 29791 "
+            "+ ascii(substr(text, cast(i+3 AS int), 1)) * 961 "
+            "+ ascii(substr(text, cast(i+4 AS int), 1)) * 31 "
+            "+ ascii(substr(text, cast(i+5 AS int), 1))) % 1048576) AS hs "
+            "FROM d), "
+            "sel AS (SELECT doc_id, list_transform(range(0, len(hs) - 3), "
+            "s -> struct_pack(pos := list_max(list_transform(range(0, 4), "
+            "j -> CASE WHEN hs[cast(s+j+1 AS int)] = "
+            "list_min(hs[cast(s+1 AS int):cast(s+4 AS int)]) THEN s+j "
+            "ELSE -1 END)), fp := "
+            "list_min(hs[cast(s+1 AS int):cast(s+4 AS int)]))) AS picks "
+            "FROM h) "
+            "SELECT DISTINCT doc_id, cast(p.pos AS int) AS pos, "
+            "cast(p.fp AS bigint) AS fp "
+            "FROM sel, unnest(picks) AS u(p) ORDER BY doc_id, pos"
         ),
         "cvat_document_items": (
             "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400), "

@@ -9,6 +9,7 @@ with full predicate pushdown above them.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,3 +93,64 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
                    F.substring(F.reverse(norm), 1, n_chars),
                    F.length(norm)),
     )
+
+
+WINNOW_SCHEMA = "doc_id bigint, pos int, fp bigint"
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        key: str = "doc_id", k: int = 5, w: int = 4,
+                        base: int = 31, mod: int = 1 << 20) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — public): polynomial rolling hash over character k-grams, then
+    one fingerprint per w-window of consecutive hashes — the window
+    minimum, rightmost occurrence on ties — deduplicated by position.
+
+    The guarantee (the paper's Theorem): any shared substring of length
+    >= w + k - 1 between two documents yields at least one shared
+    fingerprint, making the selected (pos, fp) rows a local, position-
+    robust near-dup key set: shard-level dedup joins on fp, candidate
+    pairs verify on fp overlap.
+
+    Scale shape: one Arrow-batched numpy stage per partition (vectorized
+    sliding windows, no per-char Python), output rows ~ |text| / ((w+1)/2)
+    per doc (the paper's expected density 2/(w+1)); downstream joins are
+    ordinary hash joins on fp.
+    """
+    import pandas as pd
+
+    weights = np.array([pow(base, k - 1 - j, mod) for j in range(k)],
+                       dtype=np.int64)
+
+    def gen(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in it:
+            out_key, out_pos, out_fp = [], [], []
+            for key_val, text in zip(pdf[key], pdf[text_col]):
+                s = text or ""
+                if len(s) < k + w - 1:
+                    continue
+                codes = np.fromiter((ord(c) for c in s), dtype=np.int64,
+                                    count=len(s))
+                grams = sliding_window_view(codes, k)      # [m, k]
+                hs = (grams @ weights) % mod               # [m]
+                wins = sliding_window_view(hs, w)          # [m-w+1, w]
+                mins = wins.min(axis=1)
+                # rightmost tie: argmin over the reversed window
+                right_idx = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+                pos = np.arange(len(mins)) + right_idx
+                keep = np.ones(len(pos), dtype=bool)
+                keep[1:] = pos[1:] != pos[:-1]  # consecutive dups collapse
+                sel_pos, sel_fp = pos[keep], mins[keep]
+                # non-adjacent windows can reselect a position; dedupe
+                uniq = {int(p): int(v) for p, v in zip(sel_pos, sel_fp)}
+                for p in sorted(uniq):
+                    out_key.append(int(key_val))
+                    out_pos.append(p)
+                    out_fp.append(uniq[p])
+            yield pd.DataFrame({key: out_key, "pos": out_pos,
+                                "fp": out_fp})
+
+    return df.select(key, text_col).mapInPandas(gen, schema=WINNOW_SCHEMA)
