@@ -846,6 +846,26 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs).orderBy("doc_id", "pos")
 
 
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup (round 3): lossless inverted-index
+    self-join, no LSH approximation. Fixture: every doc < 150 gains a
+    'MUT '-prefixed twin (doc_id + 10000) — one extra leading token adds
+    exactly one 3-gram, so J(orig, twin) = g/(g+1) with g the doc's
+    distinct gram count; the oracle recomputes every pair from the same
+    derivation."""
+    from docling_eval_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").where(F.col("doc_id") < 150)
+    )
+    mut = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("MUT "), F.col("text")).alias("text"))
+    return ngram_jaccard_pairs(base.unionByName(mut), threshold=0.5) \
+        .orderBy("a", "b")
+
+
 def _q_pixparse_page_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pixparse-style OCR GT builder (reference pixparse_builder.py
     :60-114): zipped text/bbox/score lists per page -> segmented-page
@@ -1836,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclaynet_v2_kv": _q_doclaynet_v2_kv,
         "cvat_document_items": _q_cvat_document_items,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2162,6 +2183,28 @@ def oracle_sql() -> dict[str, str]:
             "cast(column_header AS boolean) AS column_header, "
             "cast(row_header AS boolean) AS row_header "
             "FROM rows ORDER BY doc_id, item_idx"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id < 150), "
+            "alldocs AS (SELECT doc_id, text FROM base "
+            "UNION ALL SELECT doc_id + 10000, 'MUT ' || text FROM base), "
+            "t AS (SELECT doc_id, "
+            "CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 "
+            "THEN [text] ELSE list_distinct(list_transform("
+            "range(0, len(string_split_regex(trim(text), '\\s+')) - 2), "
+            "i -> array_to_string(string_split_regex(trim(text), '\\s+')"
+            "[cast(i+1 AS int):cast(i+3 AS int)], ' '))) END AS grams "
+            "FROM alldocs), "
+            "g AS (SELECT doc_id, unnest(grams) AS g FROM t), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+            " shared AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "count(*) AS s FROM g x JOIN g y ON x.g = y.g "
+            "AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, round(s * 1.0 / (sa.n + sb.n - s), 6) AS jaccard "
+            "FROM shared JOIN sizes sa ON sa.doc_id = a "
+            "JOIN sizes sb ON sb.doc_id = b "
+            "WHERE s * 1.0 / (sa.n + sb.n - s) >= 0.5 ORDER BY a, b"
         ),
         "winnow_fingerprints": (
             "WITH d AS (SELECT doc_id, text FROM documents "

@@ -225,6 +225,63 @@ def ngram_jaccard_verify(df: DataFrame, candidates: DataFrame,
     return joined.where(F.col("jaccard") >= threshold)
 
 
+def _distinct_grams(df: DataFrame, text_col: str, key: str,
+                    shingle_n: int):
+    """(key, grams array) with the shared tokenizer/shingler semantics
+    (trim + \\s+ split; short docs fall back to the whole text)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) < shingle_n, F.array(F.col(text_col))
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - shingle_n),
+        lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " ")))
+    return df.select(F.col(key), F.array_distinct(grams).alias("grams"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        key: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup over the corpus: all pairs (a < b)
+    with J(grams_a, grams_b) >= threshold.
+
+    The inverted-index self-join (the prefix-filtering family of exact
+    set-similarity joins): docs sharing >= 1 shingle are candidates —
+    LOSSLESS for threshold > 0 since J > 0 implies a shared shingle —
+    shared counts come from one groupBy over gram-matched pairs, and
+    |union| = |A| + |B| - shared from per-doc gram counts. No all-pairs
+    cross product anywhere; shuffle volume is the posting-list join.
+
+    Scale knob: ultra-common shingles make hot join keys whose posting
+    lists square. `max_doc_freq` drops shingles appearing in more than
+    that many docs (standard df-prefilter) — this CAN miss pairs whose
+    every shared shingle is common, so it is off by default and the
+    drop is a visible semantic choice, mirroring the LSH hot-bucket
+    guard."""
+    sh = _distinct_grams(df, text_col, key, shingle_n)
+    sizes = sh.select(F.col(key), F.size("grams").alias("n"))
+    posts = sh.select(F.col(key), F.explode("grams").alias("g"))
+    if max_doc_freq is not None:
+        hot = (posts.groupBy("g").agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_doc_freq).select("g"))
+        posts = posts.join(F.broadcast(hot), on="g", how="left_anti")
+    x, y = posts.alias("x"), posts.alias("y")
+    shared = (
+        x.join(y, (F.col("x.g") == F.col("y.g"))
+               & (F.col(f"x.{key}") < F.col(f"y.{key}")))
+        .groupBy(F.col(f"x.{key}").alias("a"), F.col(f"y.{key}").alias("b"))
+        .agg(F.count("*").alias("s"))
+    )
+    sa = sizes.select(F.col(key).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(key).alias("b"), F.col("n").alias("nb"))
+    jac = F.col("s") / (F.col("na") + F.col("nb") - F.col("s"))
+    return (
+        shared.join(sa, on="a").join(sb, on="b")
+        .where(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", key: str = "doc_id",
                         threshold: float = 0.8,
                         max_bucket_size: int | None = None,

@@ -100,3 +100,31 @@ def test_near_dedup_drops_near_copies(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     kept = sorted(r["doc_id"] for r in near_dedup(df).select("doc_id").collect())
     assert kept == [1, 4]
+
+
+class TestNgramJaccardPairs:
+    def test_exact_pairs_and_df_prefilter(self, spark):
+        from docling_eval_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),     # J = 2/4 with doc 1
+            (3, "totally different words entirely here"),
+            (4, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+        assert got[(1, 4)] == 1.0
+        assert got[(1, 2)] == 0.5 and got[(2, 4)] == 0.5
+        assert not any(3 in p for p in got)
+        # threshold drops the 0.5 pairs
+        high = {(r["a"], r["b"]) for r in
+                ngram_jaccard_pairs(df, threshold=0.9).collect()}
+        assert high == {(1, 4)}
+        # df-prefilter: dropping grams present in >2 docs removes every
+        # shared gram of the trio (all appear in docs 1, 2 and 4) — the
+        # documented recall trade, not silent truncation
+        pruned = ngram_jaccard_pairs(df, threshold=0.5,
+                                     max_doc_freq=2).collect()
+        assert pruned == []
