@@ -1822,6 +1822,136 @@ def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, emb, k=3, n_clusters=8, nprobe=8)
 
 
+# ---------------------------------------------------------------------------
+# queries — web-corpus curation tier (CCNet / Gopher / C4 / RefinedWeb passes
+# over the extraction output; operators/webtext.py)
+# ---------------------------------------------------------------------------
+
+def _q_webtext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §3.1 corpus-level duplicate-line removal over pseudo-lines
+    (3-word chunks — the 31-word synthetic vocab makes cross-document
+    line collisions common, so the pass removes real content here)."""
+    from docling_eval_spark.operators.webtext import (
+        corpus_line_dedup, with_word_lines)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    lined = with_word_lines(docs, words_per_line=3)
+    out = corpus_line_dedup(lined, key="doc_id", text_col="text_lines")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text").alias("kept_md5")
+    ).orderBy("doc_id")
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021, A1.1) quality rules as native columns;
+    min_words lowered to 20 so the corpus has both passing and failing
+    documents."""
+    from docling_eval_spark.operators.webtext import with_gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    out = with_gopher_quality(docs, min_words=20)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac", "n_stop",
+        "symbol_ratio", "flag_word_count", "flag_word_len", "flag_symbol",
+        "flag_alpha", "flag_stop", "gopher_pass",
+    ).orderBy("doc_id")
+
+
+def _q_webtext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: within-document duplicate-line fractions
+    (2-word pseudo-lines -> real intra-document collisions) plus the
+    top word-2-gram character fraction."""
+    from docling_eval_spark.operators.webtext import (
+        repetition_stats, with_word_lines)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    lined = with_word_lines(docs, words_per_line=2)
+    return repetition_stats(
+        lined, key="doc_id", text_col="text_lines").orderBy("doc_id")
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style regex PII pass over text with deterministic
+    synthetic PII spans appended (one email, one IPv4, one phone each)."""
+    from docling_eval_spark.operators.webtext import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".25 tel +14155550"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+        ))
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("text_redacted").alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_webtext_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup with salted two-stage aggregation (8 buckets) on
+    a skewed synthetic host map (2/3 of pages on one hot domain — the
+    canonical web-corpus skew). The oracle is the UNsalted SQL: the salt
+    must be bit-invisible in the result."""
+    from docling_eval_spark.operators.webtext import (
+        domain_rollup, with_domain)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+    host = F.when(F.col("doc_id") % 3 != 0, F.lit(0)) \
+        .otherwise(F.col("doc_id") % 131)
+    pages = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://host"), F.lpad(host.cast("string"), 4, "0"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string")))
+    dom = with_domain(pages)
+    return domain_rollup(
+        dom, key="doc_id", chars_col="n_chars", salt_buckets=8
+    ).orderBy("domain")
+
+
+def _q_webtext_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM scoring: corpus unigram table (one groupBy with
+    map-side combine), broadcast back, per-document mean -ln p(token)."""
+    from docling_eval_spark.operators.webtext import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return unigram_logprob(docs, key="doc_id").orderBy("doc_id")
+
+
+def _q_webtext_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-URL collapse over synthetic recrawls
+    (1 + doc_id%3 captures per url): max_by partial-aggregable arg-max,
+    not a window sort."""
+    from docling_eval_spark.operators.webtext import latest_snapshot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", "lang")
+    crawls = docs.select(
+        "doc_id", "n_chars", "lang",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("doc_id") % 3)).alias("r"))
+    pages = crawls.select(
+        F.concat(F.lit("https://h.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 7 % 100000 + F.col("r") * 3600).alias("warc_ts"),
+        (F.col("n_chars") + F.col("r")).alias("n_chars"),
+        "lang")
+    return latest_snapshot(
+        pages, key="url", ts_col="warc_ts",
+        payload_cols=["n_chars", "lang"]).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for driver coverage.
 
@@ -1857,6 +1987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvat_document_items": _q_cvat_document_items,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "webtext_line_dedup": _q_webtext_line_dedup,
+        "gopher_quality": _q_gopher_quality,
+        "webtext_repetition": _q_webtext_repetition,
+        "pii_redaction": _q_pii_redaction,
+        "webtext_domain_rollup": _q_webtext_domain_rollup,
+        "webtext_unigram_nll": _q_webtext_unigram_nll,
+        "webtext_latest_snapshot": _q_webtext_latest_snapshot,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2226,6 +2363,144 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, cast(p.pos AS int) AS pos, "
             "cast(p.fp AS bigint) AS fp "
             "FROM sel, unnest(picks) AS u(p) ORDER BY doc_id, pos"
+        ),
+        "webtext_line_dedup": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, cast(ceil(len(ws) / 3.0) AS int) "
+            "AS nc FROM w), "
+            "l AS (SELECT doc_id, cast(i AS bigint) AS pos, "
+            "array_to_string(ws[cast(i*3+1 AS int):cast(i*3+3 AS int)], ' ')"
+            " AS line FROM c, unnest(range(0, nc)) AS u(i)), "
+            "e AS (SELECT doc_id, pos, line, "
+            "doc_id * 1048576 + pos AS packed FROM l WHERE strlen(line) > 0),"
+            " win AS (SELECT line, min(packed) AS win FROM e GROUP BY line), "
+            "k AS (SELECT e.doc_id, e.pos, e.line FROM e JOIN win "
+            "ON e.line = win.line AND e.packed = win.win), "
+            "tot AS (SELECT doc_id, count(*) AS n_lines FROM e "
+            "GROUP BY doc_id), "
+            "kept AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY pos) AS txt FROM k "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, cast(coalesce(tot.n_lines, 0) AS bigint) "
+            "AS n_lines, cast(coalesce(kept.n_kept, 0) AS bigint) AS n_kept,"
+            " md5(coalesce(kept.txt, '')) AS kept_md5 "
+            "FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id "
+            "LEFT JOIN kept ON kept.doc_id = d.doc_id ORDER BY d.doc_id"
+        ),
+        "gopher_quality": (
+            "WITH w AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "f AS (SELECT doc_id, len(ws) AS n_words, "
+            "round(cast(list_sum(list_transform(ws, x -> strlen(x))) "
+            "AS double) / len(ws), 6) AS mean_word_len, "
+            "round(cast(len(list_filter(ws, "
+            "x -> regexp_matches(x, '[a-zA-Z]'))) AS double) / len(ws), 6) "
+            "AS alpha_word_frac, "
+            f"len(list_filter(ws, x -> list_contains([{stop_list}], x))) "
+            "AS n_stop, "
+            "round((strlen(text) - strlen(replace(text, '#', '')) "
+            "+ (strlen(text) - strlen(replace(text, '...', ''))) / 3.0) "
+            "/ len(ws), 6) AS symbol_ratio FROM w) "
+            "SELECT doc_id, n_words, mean_word_len, alpha_word_frac, "
+            "n_stop, symbol_ratio, "
+            "n_words >= 20 AND n_words <= 100000 AS flag_word_count, "
+            "mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AS flag_word_len, "
+            "symbol_ratio <= 0.1 AS flag_symbol, "
+            "alpha_word_frac >= 0.8 AS flag_alpha, "
+            "n_stop >= 2 AS flag_stop, "
+            "(n_words >= 20 AND n_words <= 100000) AND "
+            "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND "
+            "symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND "
+            "n_stop >= 2 AS gopher_pass "
+            "FROM f ORDER BY doc_id"
+        ),
+        "webtext_repetition": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "l AS (SELECT doc_id, "
+            "array_to_string(ws[cast(i*2+1 AS int):cast(i*2+2 AS int)], ' ')"
+            " AS line FROM (SELECT doc_id, ws, "
+            "cast(ceil(len(ws) / 2.0) AS int) AS nc FROM w), "
+            "unnest(range(0, nc)) AS u(i)), "
+            "lc AS (SELECT doc_id, line, count(*) AS cnt FROM l "
+            "WHERE strlen(line) > 0 GROUP BY doc_id, line), "
+            "ls AS (SELECT doc_id, "
+            "round(cast(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) "
+            "AS double) / sum(cnt), 6) AS dup_line_frac, "
+            "round(cast(sum(CASE WHEN cnt > 1 THEN cnt * strlen(line) "
+            "ELSE 0 END) AS double) / sum(cnt * strlen(line)), 6) "
+            "AS dup_line_char_frac FROM lc GROUP BY doc_id), "
+            "g AS (SELECT doc_id, ws[cast(i+1 AS int)] || ' ' || "
+            "ws[cast(i+2 AS int)] AS gram FROM w, "
+            "unnest(range(0, len(ws) - 1)) AS u(i)), "
+            "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g "
+            "GROUP BY doc_id, gram), "
+            "top AS (SELECT doc_id, gram AS top_gram, cnt AS top_cnt FROM "
+            "(SELECT doc_id, gram, cnt, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn "
+            "FROM gc) WHERE rn = 1), "
+            "wc AS (SELECT doc_id, "
+            "list_sum(list_transform(ws, x -> strlen(x))) AS word_chars "
+            "FROM w) "
+            "SELECT ls.doc_id, ls.dup_line_frac, ls.dup_line_char_frac, "
+            "top.top_gram, cast(top.top_cnt AS bigint) AS top_cnt, "
+            "round(top.top_cnt * strlen(replace(top.top_gram, ' ', '')) "
+            "/ cast(wc.word_chars AS double), 6) AS top2gram_char_frac "
+            "FROM ls JOIN top ON top.doc_id = ls.doc_id "
+            "JOIN wc ON wc.doc_id = ls.doc_id ORDER BY ls.doc_id"
+        ),
+        "pii_redaction": (
+            "WITH t AS (SELECT doc_id, text || ' contact user' || doc_id "
+            "|| '@mail.example or 10.0.' || cast(doc_id % 256 AS varchar) "
+            "|| '.25 tel +14155550' || "
+            "lpad(cast(doc_id % 100 AS varchar), 3, '0') AS txt "
+            "FROM documents), "
+            "r1 AS (SELECT doc_id, len(regexp_extract_all(txt, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS n_emails, regexp_replace(txt, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS red1 FROM t), "
+            "r2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(red1, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips, "
+            "regexp_replace(red1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', "
+            "'<IP>', 'g') AS red2 FROM r1), "
+            "r3 AS (SELECT doc_id, n_emails, n_ips, "
+            "len(regexp_extract_all(red2, '\\+[0-9]{9,15}')) AS n_phones, "
+            "regexp_replace(red2, '\\+[0-9]{9,15}', '<PHONE>', 'g') "
+            "AS red3 FROM r2) "
+            "SELECT doc_id, n_emails, n_ips, n_phones, md5(red3) AS red_md5 "
+            "FROM r3 ORDER BY doc_id"
+        ),
+        "webtext_domain_rollup": (
+            "SELECT 'host' || lpad(cast(CASE WHEN doc_id % 3 <> 0 THEN 0 "
+            "ELSE doc_id % 131 END AS varchar), 4, '0') || '.example' "
+            "AS domain, count(*) AS n_docs, "
+            "round(cast(sum(n_chars) AS double) / count(*), 6) "
+            "AS avg_chars FROM documents GROUP BY 1 ORDER BY domain"
+        ),
+        "webtext_unigram_nll": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS tok "
+            "FROM documents), "
+            "freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), "
+            "tot AS (SELECT cast(sum(cnt) AS bigint) AS total FROM freq) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "round(avg(-ln(cnt / cast(total AS double))), 6) "
+            "AS unigram_nll FROM toks JOIN freq USING (tok) "
+            "CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "webtext_latest_snapshot": (
+            "WITH c AS (SELECT doc_id, n_chars, lang, "
+            "unnest(range(0, doc_id % 3 + 1)) AS r FROM documents), "
+            "p AS (SELECT 'https://h.example/' || doc_id AS url, "
+            "doc_id * 7 % 100000 + r * 3600 AS warc_ts, "
+            "n_chars + r AS n_chars, lang FROM c) "
+            "SELECT url, count(*) AS n_crawls, max(warc_ts) AS warc_ts, "
+            "arg_max(n_chars, warc_ts) AS n_chars, "
+            "arg_max(lang, warc_ts) AS lang "
+            "FROM p GROUP BY url ORDER BY url"
         ),
         "cvat_document_items": (
             "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400), "

@@ -1,0 +1,381 @@
+"""Web-corpus curation operators for Common-Crawl-style training data.
+
+The north-rule input is an Iceberg table of web pages
+(url, warc_ts, html, text, lang); after the extraction tier produces
+clean text, a real training-data pipeline runs exactly these passes
+over it (CCNet, Gopher/MassiveText, C4, RefinedWeb — all published):
+
+- corpus-level duplicate-line removal (CCNet section 3.1: hash every
+  paragraph/line over the WHOLE corpus, keep first occurrence),
+- Gopher quality rules (Rae et al. 2021, appendix A1.1): word-count
+  bounds, mean-word-length bounds, symbol-to-word ratio, fraction of
+  words with an alphabetic character, stop-word floor,
+- Gopher repetition rules (A1.1): duplicate-line fraction,
+  duplicate-line character fraction, top word-2-gram character
+  fraction,
+- PII redaction (emails / IPv4 / phone numbers -> typed placeholder
+  tokens; C4 and RefinedWeb both ship such regex passes),
+- per-domain rollups with optional salting (host-level skew is THE
+  skew axis of web corpora: a few domains contribute millions of
+  pages),
+- unigram log-prob scoring (stand-in for CCNet's KenLM perplexity
+  bucket stage: same two-phase shape — corpus LM stats, broadcast
+  back, per-doc score),
+- latest-snapshot-per-url collapse across recrawls (max_by on
+  warc_ts — partial-aggregable, unlike a window row_number which
+  sorts every group).
+
+Everything is built from JVM-side pyspark.sql.functions (no Python in
+the hot path anywhere in this module); the corpus-wide passes are
+shaped so the shuffles are keyed and partial-aggregated the way a
+100 TB run needs (see each docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docling_eval_spark.operators.text_analysis import STOPWORDS
+
+# Packing stride for (doc, line-ordinal) -> single bigint. 2^20 lines
+# per document is far above any real page; keeps min() a plain bigint
+# aggregate (partial-aggregable, no struct comparators in the shuffle).
+LINE_STRIDE = 1 << 20
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PHONE_RE = "\\+[0-9]{9,15}"
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_word_lines(df: DataFrame, text_col: str = "text",
+                    words_per_line: int = 10,
+                    out_col: str = "text_lines") -> DataFrame:
+    """Re-chunk a flat word stream into fixed-width pseudo-lines joined
+    by newlines. Deterministic, purely columnar; used to give line-level
+    operators a line structure when the source text has none. Chunk i
+    covers words [i*w+1, i*w+w] (1-based, clamped)."""
+    w = words_per_line
+    words = _words(F.col(text_col))
+    nchunks = F.floor((F.size(words) + F.lit(w - 1)) / F.lit(float(w))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * w + 1, w)),
+    )
+    return df.withColumn(out_col, F.concat_ws("\n", lines))
+
+
+def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
+                      text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """CCNet-style corpus-level duplicate-line removal.
+
+    Reference pipeline analog: CCNet section 3.1 deduplicates Common
+    Crawl by hashing every paragraph across the whole corpus and
+    dropping repeats; C4 does the same at the line level ("we discard
+    all but one of any three-sentence span occurring more than once").
+
+    Plan shape (scale notes):
+      1. posexplode lines, drop blanks (blank lines are the one
+         degenerate hot key — at 100 TB the empty-line group would be
+         a single reducer).
+      2. group lines by xxhash64(line) — the shuffle key is a fixed
+         8-byte hash, not the line text, so shuffle volume is bounded
+         and skew only occurs for genuinely duplicated content (which
+         is exactly the data this pass removes). min(packed) is a
+         plain bigint min => map-side partial aggregation.
+      3. join winners back on the hash (AQE reuses the exchange from
+         step 2) and keep rows whose packed ordinal won.
+      4. reassemble per document with array_sort(collect_list(struct))
+         — keyed by doc, so the final shuffle is the natural document
+         partitioning of every downstream pass.
+
+    First occurrence = minimum of (key * LINE_STRIDE + position):
+    document order then line order, fully deterministic.
+
+    Returns one row per input document: (key, n_lines, n_kept, text)
+    where text is the surviving lines re-joined with `sep` (empty
+    string when every line of a document was seen earlier).
+    """
+    lines = F.split(F.col(text_col), sep)
+    ex = (
+        df.select(key, F.posexplode(lines).alias("pos", "line"))
+        .where(F.length("line") > 0)
+        .withColumn("packed", F.col(key) * F.lit(LINE_STRIDE) + F.col("pos"))
+        .withColumn("line_key", F.xxhash64("line"))
+    )
+    winners = ex.groupBy("line_key").agg(F.min("packed").alias("win"))
+    kept = (
+        ex.join(winners, "line_key")
+        .where(F.col("packed") == F.col("win"))
+    )
+    per_doc_kept = (
+        kept.groupBy(key)
+        .agg(
+            F.count_if(F.lit(True)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_s"),
+        )
+        .withColumn("text", F.concat_ws(
+            sep, F.transform(F.col("_s"), lambda s: s["line"])))
+        .drop("_s")
+    )
+    per_doc_total = ex.groupBy(key).agg(F.count_if(F.lit(True)).alias("n_lines"))
+    return (
+        df.select(key)
+        .join(per_doc_total, key, "left")
+        .join(per_doc_kept, key, "left")
+        .select(
+            key,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text",
+                        min_words: int = 50, max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_ratio: float = 0.1,
+                        min_alpha_word_frac: float = 0.8,
+                        min_stopwords: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, A1.1) as native columns.
+
+    Adds the measured features plus one boolean flag per rule and an
+    overall `gopher_pass`. All expressions stay inside whole-stage
+    codegen; at 100 TB this runs at scan speed and the flag pushes down
+    as a predicate for downstream passes that filter on it.
+
+    Features: n_words, mean_word_len (word characters / words),
+    alpha_word_frac (words containing [a-zA-Z]), n_stop (occurrences of
+    the STOPWORDS list), symbol_ratio ((# + ellipsis) / words).
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0), lambda acc, x: acc + x)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+        + (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    )
+    mean_wl = F.round(word_chars / n_words.cast("double"), 6)
+    alpha_frac = F.round(n_alpha / n_words.cast("double"), 6)
+    sym_ratio = F.round(n_symbols / n_words.cast("double"), 6)
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("n_stop", n_stop)
+        .withColumn("symbol_ratio", sym_ratio)
+        .withColumn("flag_word_count",
+                    (n_words >= min_words) & (n_words <= max_words))
+        .withColumn("flag_word_len",
+                    (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len))
+        .withColumn("flag_symbol", sym_ratio <= max_symbol_ratio)
+        .withColumn("flag_alpha", alpha_frac >= min_alpha_word_frac)
+        .withColumn("flag_stop", n_stop >= min_stopwords)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("flag_word_count") & F.col("flag_word_len")
+        & F.col("flag_symbol") & F.col("flag_alpha") & F.col("flag_stop"))
+
+
+def repetition_stats(df: DataFrame, key: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Gopher repetition rules (A1.1): within-document duplication.
+
+    Per document: fraction of lines that are duplicates of another line
+    in the same document (dup_line_frac), fraction of characters inside
+    such duplicated lines (dup_line_char_frac), and the fraction of
+    characters covered by the most frequent word 2-gram
+    (top2gram_char_frac = count * gram-characters / word-characters).
+
+    Both passes are keyed by (document, unit) then document — the
+    shuffle is the natural per-document partitioning, no corpus-wide
+    key, so the operator scales linearly with documents. Tie-break for
+    the top 2-gram: highest count, then lexicographically smallest
+    gram (deterministic and oracle-reproducible).
+    """
+    lines_df = (
+        df.select(key, F.explode(F.split(F.col(text_col), sep)).alias("line"))
+        .where(F.length("line") > 0)
+    )
+    line_counts = lines_df.groupBy(key, "line").agg(
+        F.count_if(F.lit(True)).alias("cnt"))
+    line_stats = line_counts.groupBy(key).agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double"), 6).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1,
+                         F.col("cnt") * F.length("line")).otherwise(0))
+            / F.sum(F.col("cnt") * F.length("line")).cast("double"), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+    words = _words(F.col(text_col))
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
+    )
+    gram_counts = (
+        df.select(key, F.explode(grams).alias("gram"))
+        .groupBy(key, "gram").agg(F.count_if(F.lit(True)).alias("cnt"))
+    )
+    top = gram_counts.groupBy(key).agg(
+        F.max("cnt").alias("top_cnt"),
+        F.min_by(F.col("gram"), F.struct(
+            (-F.col("cnt")).alias("neg"), F.col("gram"))).alias("top_gram"),
+    )
+    word_chars = df.select(
+        key,
+        F.aggregate(F.transform(words, F.length), F.lit(0),
+                    lambda acc, x: acc + x).alias("word_chars"))
+    top_frac = (
+        top.join(word_chars, key)
+        .select(
+            key, "top_gram", "top_cnt",
+            F.round(
+                F.col("top_cnt")
+                * F.length(F.regexp_replace("top_gram", " ", ""))
+                / F.col("word_chars").cast("double"), 6
+            ).alias("top2gram_char_frac"),
+        )
+    )
+    return line_stats.join(top_frac, key)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Regex PII redaction (C4 / RefinedWeb-style): emails, IPv4
+    addresses, and international phone numbers replaced by typed
+    placeholder tokens, with per-document match counts.
+
+    Order matters and is fixed: emails first (an address contains no
+    IP-shaped or phone-shaped span once replaced), then IPv4, then
+    phones. Pure regexp_replace / regexp_extract_all — JVM-side,
+    codegen, no shuffle.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(red1, F.lit(IPV4_RE), F.lit(0)))
+    red2 = F.regexp_replace(red1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(red2, F.lit(PHONE_RE), F.lit(0)))
+    red3 = F.regexp_replace(red2, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_ips", n_ips)
+        .withColumn("n_phones", n_phones)
+        .withColumn(out_col, red3)
+    )
+
+
+def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Extract the registrable host from a URL column with the built-in
+    parse_url (Catalyst expression, codegen-friendly)."""
+    return df.withColumn("domain", F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def domain_rollup(df: DataFrame, key: str = "doc_id",
+                  chars_col: str = "n_chars",
+                  salt_buckets: int | None = None) -> DataFrame:
+    """Per-domain document count and mean page size.
+
+    Host-level skew is the canonical web-corpus skew: a handful of
+    domains (wikipedia.org, blogspot.com, ...) hold orders of magnitude
+    more pages than the median host. With `salt_buckets` set, the
+    rollup aggregates in two stages — (domain, salt) partials first,
+    then domain — so no single reducer ever sees a full hot domain.
+    Results are bit-identical to the unsalted plan (counts and sums are
+    associative; the mean is computed only in the final stage).
+    """
+    if salt_buckets:
+        partial = (
+            df.groupBy(
+                "domain",
+                F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets)).alias("_salt"))
+            .agg(F.count_if(F.lit(True)).alias("_n"),
+                 F.sum(chars_col).alias("_chars"))
+        )
+        return (
+            partial.groupBy("domain")
+            .agg(
+                F.sum("_n").alias("n_docs"),
+                F.round(F.sum("_chars") / F.sum("_n").cast("double"), 6)
+                .alias("avg_chars"),
+            )
+        )
+    return df.groupBy("domain").agg(
+        F.count_if(F.lit(True)).alias("n_docs"),
+        F.round(F.avg(F.col(chars_col).cast("double")), 6).alias("avg_chars"),
+    )
+
+
+def unigram_logprob(df: DataFrame, key: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram negative log-likelihood.
+
+    CCNet buckets Common Crawl by a KenLM wikipedia perplexity; the
+    two-phase Spark shape is identical for any LM order: (1) aggregate
+    corpus LM statistics — here a unigram table, one groupBy on token
+    with map-side combine; (2) broadcast the (small) model back and
+    score each document. The token table of even a 100 TB web corpus
+    is millions of rows — broadcastable; higher orders would swap the
+    broadcast for a bucketed join on gram prefix.
+
+    Score = mean over tokens of -ln(count(token)/total_tokens),
+    rounded to 6 decimals (summation-order stability).
+    """
+    toks = df.select(key, F.explode(_words(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count_if(F.lit(True)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    model = F.broadcast(freq.crossJoin(F.broadcast(total)))
+    scored = (
+        toks.join(model, "tok")
+        .groupBy(key)
+        .agg(
+            F.count_if(F.lit(True)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6)
+            .alias("unigram_nll"),
+        )
+    )
+    return scored
+
+
+def latest_snapshot(df: DataFrame, key: str = "url",
+                    ts_col: str = "warc_ts",
+                    payload_cols: list[str] | None = None) -> DataFrame:
+    """Collapse recrawls: keep the newest snapshot per URL.
+
+    Common Crawl recrawls popular URLs every dump; training pipelines
+    keep one snapshot per URL (usually the newest). max_by is the
+    scale-correct operator here: it partial-aggregates map-side (each
+    task keeps one candidate per URL), unlike the textbook
+    row_number()-over-window plan which shuffles and sorts every
+    snapshot of every URL.
+
+    Returns (key, n_crawls, <payload cols from the newest snapshot>).
+    Ties on the timestamp are broken by the largest payload struct
+    (deterministic); real WARC timestamps are unique per capture.
+    """
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in (key, ts_col)]
+    aggs = [F.count_if(F.lit(True)).alias("n_crawls"),
+            F.max(ts_col).alias(ts_col)]
+    aggs += [
+        F.max(F.struct(F.col(ts_col).alias("_ts"), F.col(c).alias("v")))
+        .getField("v").alias(c)
+        for c in payload_cols
+    ]
+    return df.groupBy(key).agg(*aggs)
