@@ -1866,8 +1866,11 @@ def _q_webtext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.webtext import (
         repetition_stats, with_word_lines)
 
+    # repartition the light rows first: the source parquet is 1-3 splits
+    # and the per-row gram expressions are the heavy stage here
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text")
+        "doc_id", "text"
+    ).repartition(16, F.xxhash64("doc_id", F.lit(0xEB)))
     lined = with_word_lines(docs, words_per_line=2)
     return repetition_stats(
         lined, key="doc_id", text_col="text_lines").orderBy("doc_id")

@@ -44,6 +44,10 @@ GROUPS: dict[str, list[str]] = {
         "pricing_summary", "region_revenue", "doc_len_histogram",
         "top_parts_per_brand", "embedding_topk",
     ],
+    "webtext": [
+        "webtext_line_dedup", "gopher_quality", "webtext_repetition",
+        "webtext_unigram_nll",
+    ],
 }
 
 
@@ -134,6 +138,39 @@ def _run_group(group: str, sf_dir: str, cpus: int) -> None:
                        runs=3 if group == "sql" else 2), 3)
         out["timings"] = timings
 
+        if group == "webtext":
+            # curation-tier throughput headline: replicate the corpus 20x
+            # (distinct doc_ids, light rows only) and run the full
+            # Gopher-flags -> corpus-line-dedup chain — a corpus-wide
+            # shuffle workload, what the curation pass costs per doc in a
+            # long-running job.
+            from pyspark.sql import functions as F
+
+            from docling_eval_spark.corpus.generator import (
+                pages_from_documents)
+            from docling_eval_spark.operators.webtext import (
+                corpus_line_dedup, with_gopher_quality, with_word_lines)
+
+            light = pages_from_documents(
+                spark, sf_dir, n_partitions=cpus * 2, replicate=20,
+                pages_stage=False)
+            n_docs = light.count()
+
+            def _cur() -> None:
+                lined = with_word_lines(light, words_per_line=3)
+                deduped = corpus_line_dedup(lined, text_col="text_lines")
+                flagged = with_gopher_quality(
+                    deduped.where(F.col("n_kept") > 0))
+                flagged.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("gopher_pass").cast("int")).alias("n_pass"),
+                    F.sum("n_kept").alias("lines_kept"),
+                ).collect()
+
+            t_cur = _timed(spark, _cur, runs=2)
+            out["timings"]["webtext_curation_amplified"] = round(t_cur, 3)
+            out["webtext_docs_per_sec"] = round(n_docs / t_cur, 2)
+
     print("BENCH_PARTIAL " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -174,6 +211,7 @@ def main() -> None:
         "n_docs": merged["n_docs"],
         "docs_per_sec": merged["docs_per_sec"],
         "docs_per_sec_steady_state": merged["docs_per_sec_steady_state"],
+        "webtext_docs_per_sec": merged["webtext_docs_per_sec"],
         "byte_identical_rate": merged["byte_identical_rate"],
         "cpus": cpus,
         "fresh_jvm_groups": len(GROUPS) + 1,

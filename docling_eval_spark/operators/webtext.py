@@ -58,15 +58,21 @@ def with_word_lines(df: DataFrame, text_col: str = "text",
     """Re-chunk a flat word stream into fixed-width pseudo-lines joined
     by newlines. Deterministic, purely columnar; used to give line-level
     operators a line structure when the source text has none. Chunk i
-    covers words [i*w+1, i*w+w] (1-based, clamped)."""
+    covers words [i*w+1, i*w+w] (1-based, clamped).
+
+    The word array is projected ONCE as an intermediate column and the
+    chunk lambda slices that column: CollapseProject keeps
+    multi-referenced non-trivial projections, so each row splits once —
+    not once per chunk (O(words), not O(words^2/w) per row)."""
     w = words_per_line
-    words = _words(F.col(text_col))
+    split = df.withColumn("_ww", _words(F.col(text_col)))
+    words = F.col("_ww")
     nchunks = F.floor((F.size(words) + F.lit(w - 1)) / F.lit(float(w))).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * w + 1, w)),
     )
-    return df.withColumn(out_col, F.concat_ws("\n", lines))
+    return split.withColumn(out_col, F.concat_ws("\n", lines)).drop("_ww")
 
 
 def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
@@ -87,11 +93,14 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
          and skew only occurs for genuinely duplicated content (which
          is exactly the data this pass removes). min(packed) is a
          plain bigint min => map-side partial aggregation.
-      3. join winners back on the hash (AQE reuses the exchange from
-         step 2) and keep rows whose packed ordinal won.
+      3. join winners back on the hash and keep rows whose packed
+         ordinal won.
       4. reassemble per document with array_sort(collect_list(struct))
          — keyed by doc, so the final shuffle is the natural document
          partitioning of every downstream pass.
+      5. n_lines is computed columnar from the source row (size of the
+         non-blank split), NOT by re-aggregating the exploded frame —
+         one fewer explode consumer and one fewer doc-keyed shuffle.
 
     First occurrence = minimum of (key * LINE_STRIDE + position):
     document order then line order, fully deterministic.
@@ -122,14 +131,14 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
             sep, F.transform(F.col("_s"), lambda s: s["line"])))
         .drop("_s")
     )
-    per_doc_total = ex.groupBy(key).agg(F.count_if(F.lit(True)).alias("n_lines"))
+    n_lines = F.size(F.filter(lines, lambda l: F.length(l) > 0)) \
+        .cast("long").alias("n_lines")
     return (
-        df.select(key)
-        .join(per_doc_total, key, "left")
+        df.select(key, n_lines)
         .join(per_doc_kept, key, "left")
         .select(
             key,
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            "n_lines",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("text", F.lit("")).alias("text"),
         )
@@ -153,9 +162,14 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
     Features: n_words, mean_word_len (word characters / words),
     alpha_word_frac (words containing [a-zA-Z]), n_stop (occurrences of
     the STOPWORDS list), symbol_ratio ((# + ellipsis) / words).
+
+    The word array is projected once ("_ww"), each feature is computed
+    once from it, and the flags reference the FEATURE COLUMNS — no
+    expression (split included) is evaluated twice per row.
     """
     t = F.col(text_col)
-    words = _words(t)
+    split = df.withColumn("_ww", _words(t))
+    words = F.col("_ww")
     n_words = F.size(words)
     word_chars = F.aggregate(
         F.transform(words, F.length),
@@ -167,22 +181,25 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
         F.length(t) - F.length(F.regexp_replace(t, "#", ""))
         + (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
     )
-    mean_wl = F.round(word_chars / n_words.cast("double"), 6)
-    alpha_frac = F.round(n_alpha / n_words.cast("double"), 6)
-    sym_ratio = F.round(n_symbols / n_words.cast("double"), 6)
+    feat = split.select(
+        *df.columns,
+        n_words.alias("n_words"),
+        F.round(word_chars / n_words.cast("double"), 6).alias("mean_word_len"),
+        F.round(n_alpha / n_words.cast("double"), 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stop"),
+        F.round(n_symbols / n_words.cast("double"), 6).alias("symbol_ratio"),
+    )
     out = (
-        df.withColumn("n_words", n_words)
-        .withColumn("mean_word_len", mean_wl)
-        .withColumn("alpha_word_frac", alpha_frac)
-        .withColumn("n_stop", n_stop)
-        .withColumn("symbol_ratio", sym_ratio)
-        .withColumn("flag_word_count",
-                    (n_words >= min_words) & (n_words <= max_words))
+        feat.withColumn(
+            "flag_word_count",
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
         .withColumn("flag_word_len",
-                    (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len))
-        .withColumn("flag_symbol", sym_ratio <= max_symbol_ratio)
-        .withColumn("flag_alpha", alpha_frac >= min_alpha_word_frac)
-        .withColumn("flag_stop", n_stop >= min_stopwords)
+                    (F.col("mean_word_len") >= min_mean_word_len)
+                    & (F.col("mean_word_len") <= max_mean_word_len))
+        .withColumn("flag_symbol", F.col("symbol_ratio") <= max_symbol_ratio)
+        .withColumn("flag_alpha",
+                    F.col("alpha_word_frac") >= min_alpha_word_frac)
+        .withColumn("flag_stop", F.col("n_stop") >= min_stopwords)
     )
     return out.withColumn(
         "gopher_pass",
@@ -223,13 +240,14 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
         ).alias("dup_line_char_frac"),
     )
 
-    words = _words(F.col(text_col))
+    split = df.select(key, _words(F.col(text_col)).alias("_ww"))
+    words = F.col("_ww")
     grams = F.transform(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
         lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
     )
     gram_counts = (
-        df.select(key, F.explode(grams).alias("gram"))
+        split.select(key, F.explode(grams).alias("gram"))
         .groupBy(key, "gram").agg(F.count_if(F.lit(True)).alias("cnt"))
     )
     top = gram_counts.groupBy(key).agg(
@@ -237,7 +255,7 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
         F.min_by(F.col("gram"), F.struct(
             (-F.col("cnt")).alias("neg"), F.col("gram"))).alias("top_gram"),
     )
-    word_chars = df.select(
+    word_chars = split.select(
         key,
         F.aggregate(F.transform(words, F.length), F.lit(0),
                     lambda acc, x: acc + x).alias("word_chars"))
