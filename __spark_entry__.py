@@ -1932,6 +1932,40 @@ def _q_webtext_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, key="doc_id").orderBy("doc_id")
 
 
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line+page filters over punctuation-augmented pseudo-lines
+    (every i%3!=0 line gets terminal punctuation; docs at doc_id%17==0
+    gain a lorem-ipsum line, %19==0 a javascript/brace line) so every
+    rule fires on some documents."""
+    from docling_eval_spark.operators.webtext import (
+        c4_page_filter, with_word_lines)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    lined = with_word_lines(docs, words_per_line=6)
+    lines = F.split(F.col("text_lines"), "\n")
+    punct = F.transform(
+        lines,
+        lambda l, i: F.concat(
+            l, F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit(""))))
+    aug = lined.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws("\n", punct),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet consectetur."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0,
+                   F.lit("\nvar x = { a: 1 } javascript snippet here."))
+            .otherwise(F.lit("")),
+        ).alias("page_text"))
+    out = c4_page_filter(aug, text_col="page_text")
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "keep",
+        F.md5("text_clean").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def _q_webtext_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-snapshot-per-URL collapse over synthetic recrawls
     (1 + doc_id%3 captures per url): max_by partial-aggregable arg-max,
@@ -1997,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_domain_rollup": _q_webtext_domain_rollup,
         "webtext_unigram_nll": _q_webtext_unigram_nll,
         "webtext_latest_snapshot": _q_webtext_latest_snapshot,
+        "c4_line_filter": _q_c4_line_filter,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2493,6 +2528,35 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(-ln(cnt / cast(total AS double))), 6) "
             "AS unigram_nll FROM toks JOIN freq USING (tok) "
             "CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "c4_line_filter": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "l0 AS (SELECT doc_id, list_transform("
+            "range(0, cast(ceil(len(ws) / 6.0) AS int)), "
+            "i -> array_to_string("
+            "ws[cast(i*6+1 AS int):cast(i*6+6 AS int)], ' ')) AS ls "
+            "FROM w), "
+            "l1 AS (SELECT doc_id, list_transform(range(0, len(ls)), "
+            "i -> ls[cast(i+1 AS int)] || "
+            "CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END) AS ls FROM l0), "
+            "p AS (SELECT doc_id, array_to_string(ls, chr(10)) || "
+            "CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+            "'lorem ipsum dolor sit amet consectetur.' ELSE '' END || "
+            "CASE WHEN doc_id % 19 = 0 THEN chr(10) || "
+            "'var x = { a: 1 } javascript snippet here.' ELSE '' END "
+            "AS page FROM l1), "
+            "k AS (SELECT doc_id, page, "
+            "len(string_split(page, chr(10))) AS n_lines, "
+            "list_filter(string_split(page, chr(10)), "
+            "x -> regexp_matches(x, '[.!?\"]$') AND "
+            "len(string_split_regex(trim(x), '\\s+')) >= 5 AND "
+            "NOT contains(lower(x), 'javascript')) AS kept FROM p) "
+            "SELECT doc_id, n_lines, len(kept) AS n_kept_lines, "
+            "len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum') "
+            "AND NOT contains(page, '{') AS keep, "
+            "md5(coalesce(array_to_string(kept, chr(10)), '')) "
+            "AS clean_md5 FROM k ORDER BY doc_id"
         ),
         "webtext_latest_snapshot": (
             "WITH c AS (SELECT doc_id, n_chars, lang, "

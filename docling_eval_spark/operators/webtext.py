@@ -273,6 +273,47 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
     return line_stats.join(top_frac, key)
 
 
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_page_filter(df: DataFrame, text_col: str = "text", sep: str = "\n",
+                   min_words_per_line: int = 5,
+                   min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, section 2.2) as native
+    columns — the published line- and page-level filters:
+
+    line keep: ends in a terminal punctuation mark ([.!?"]), has at
+    least `min_words_per_line` words, and does not contain the word
+    "javascript". page keep: at least `min_kept_lines` surviving lines,
+    no "lorem ipsum", and no curly brace.
+
+    Adds n_lines, n_kept_lines, keep, and text_clean (surviving lines
+    re-joined). Pure higher-order functions over a once-projected line
+    array — runs at scan speed, no shuffle; `keep` pushes down as a
+    predicate for downstream passes."""
+    split = df.withColumn("_ls", F.split(F.col(text_col), sep))
+    kept = F.filter(
+        F.col("_ls"),
+        lambda l: (
+            l.rlike(C4_TERMINAL_RE)
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        ))
+    return (
+        split
+        .withColumn("n_lines", F.size("_ls"))
+        .withColumn("_kept", kept)
+        .withColumn("n_kept_lines", F.size("_kept"))
+        .withColumn(
+            "keep",
+            (F.col("n_kept_lines") >= min_kept_lines)
+            & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+            & ~F.col(text_col).contains("{"))
+        .withColumn("text_clean", F.concat_ws(sep, F.col("_kept")))
+        .drop("_ls", "_kept")
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text",
                out_col: str = "text_redacted") -> DataFrame:
     """Regex PII redaction (C4 / RefinedWeb-style): emails, IPv4

@@ -98,6 +98,33 @@ def test_repetition_tie_breaks_lexicographically(spark):
     assert out.top_gram == "a b" and out.top_cnt == 2
 
 
+def test_c4_page_filter_rules(spark):
+    from docling_eval_spark.operators.webtext import c4_page_filter
+
+    good = "one two three four five six.\nsix more words are written here!\n" \
+           "third valid line of text here."
+    no_punct = "one two three four five six\n" \
+               "seven eight nine ten eleven twelve\nthirteen x y z w v"
+    short_lines = "one two.\nthree four!\nfive six."
+    js = "this line mentions javascript here now.\n" \
+         "a second acceptable line is here.\nthird acceptable line is here."
+    lorem = good + "\nlorem ipsum dolor sit amet consectetur."
+    brace = good + "\nconfig = { nested } with six words."
+    df = spark.createDataFrame(
+        [(1, good), (2, no_punct), (3, short_lines), (4, js),
+         (5, lorem), (6, brace)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_page_filter(df).collect()}
+    assert out[1].keep and out[1].n_kept_lines == 3
+    assert out[1].text_clean == good
+    assert not out[2].keep and out[2].n_kept_lines == 0   # no terminal punct
+    assert not out[3].keep and out[3].n_kept_lines == 0   # < 5 words/line
+    assert not out[4].keep and out[4].n_kept_lines == 2   # js line dropped
+    assert not out[5].keep                                 # lorem ipsum page
+    assert out[5].n_kept_lines == 4                        # line-level keeps it
+    assert not out[6].keep                                 # curly brace page
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [(1, "mail bob@x.org and carol@y.net ip 10.0.0.1 tel +123456789"),
