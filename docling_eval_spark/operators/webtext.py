@@ -76,7 +76,8 @@ def with_word_lines(df: DataFrame, text_col: str = "text",
 
 
 def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
-                      text_col: str = "text", sep: str = "\n") -> DataFrame:
+                      text_col: str = "text", sep: str = "\n",
+                      persist_intermediate: bool = True) -> DataFrame:
     """CCNet-style corpus-level duplicate-line removal.
 
     Reference pipeline analog: CCNet section 3.1 deduplicates Common
@@ -84,23 +85,32 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
     dropping repeats; C4 does the same at the line level ("we discard
     all but one of any three-sentence span occurring more than once").
 
-    Plan shape (scale notes):
-      1. posexplode lines, drop blanks (blank lines are the one
-         degenerate hot key — at 100 TB the empty-line group would be
-         a single reducer).
-      2. group lines by xxhash64(line) — the shuffle key is a fixed
-         8-byte hash, not the line text, so shuffle volume is bounded
-         and skew only occurs for genuinely duplicated content (which
-         is exactly the data this pass removes). min(packed) is a
-         plain bigint min => map-side partial aggregation.
-      3. join winners back on the hash and keep rows whose packed
-         ordinal won.
-      4. reassemble per document with array_sort(collect_list(struct))
-         — keyed by doc, so the final shuffle is the natural document
-         partitioning of every downstream pass.
+    Plan shape (scale notes — NO line text ever crosses an exchange):
+      1. posexplode lines, hash each to xxhash64, and DROP THE TEXT —
+         the exploded frame carries only (key, pos, packed, line_key),
+         four bigint-width columns. Blank lines are dropped first (the
+         one degenerate hot key — at 100 TB the empty-line group would
+         be a single reducer).
+      2. group by line_key with min(packed): plain bigint min => full
+         map-side partial aggregation; the shuffle is 16 bytes/line.
+      3. join winners back on the hash; survivors reduce to per-doc
+         sorted position arrays (collect_list of ints keyed by doc).
+      4. ONE text-bearing shuffle total: the source rows join the
+         per-doc keep_pos arrays on the document key, and the surviving
+         text is re-derived columnar (transform + element_at over the
+         split array) — the natural document partitioning every
+         downstream pass reuses.
       5. n_lines is computed columnar from the source row (size of the
-         non-blank split), NOT by re-aggregating the exploded frame —
-         one fewer explode consumer and one fewer doc-keyed shuffle.
+         non-blank split), not by re-aggregating the exploded frame.
+
+    The int-only exploded frame has two consumers (winner aggregation
+    and winner join); with `persist_intermediate` (default) it is
+    persisted and count()-materialized in its own job first, so the
+    text-splitting subtree executes exactly once (a persist alone does
+    not stop concurrent first computations racing — see
+    operators/dedup.py). The per-doc keep_pos frame stays persisted in
+    the returned plan; release it with `.unpersist()`/clearCache when
+    the result is consumed.
 
     First occurrence = minimum of (key * LINE_STRIDE + position):
     document order then line order, fully deterministic.
@@ -113,34 +123,42 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
     ex = (
         df.select(key, F.posexplode(lines).alias("pos", "line"))
         .where(F.length("line") > 0)
-        .withColumn("packed", F.col(key) * F.lit(LINE_STRIDE) + F.col("pos"))
-        .withColumn("line_key", F.xxhash64("line"))
+        .select(
+            key, "pos",
+            (F.col(key) * F.lit(LINE_STRIDE) + F.col("pos")).alias("packed"),
+            F.xxhash64("line").alias("line_key"),
+        )
     )
+    if persist_intermediate:
+        ex = ex.persist()
+        ex.count()
     winners = ex.groupBy("line_key").agg(F.min("packed").alias("win"))
-    kept = (
+    kept_pos = (
         ex.join(winners, "line_key")
         .where(F.col("packed") == F.col("win"))
-    )
-    per_doc_kept = (
-        kept.groupBy(key)
+        .groupBy(key)
         .agg(
             F.count_if(F.lit(True)).alias("n_kept"),
-            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_s"),
+            F.array_sort(F.collect_list("pos")).alias("_keep_pos"),
         )
-        .withColumn("text", F.concat_ws(
-            sep, F.transform(F.col("_s"), lambda s: s["line"])))
-        .drop("_s")
     )
-    n_lines = F.size(F.filter(lines, lambda l: F.length(l) > 0)) \
-        .cast("long").alias("n_lines")
+    if persist_intermediate:
+        kept_pos = kept_pos.persist()
+        kept_pos.count()  # materialize before releasing the line cache
+        ex.unpersist()
+    src = df.withColumn("_ls", lines)
+    arr = F.col("_ls")
+    text = F.when(F.col("_keep_pos").isNull(), F.lit("")).otherwise(
+        F.concat_ws(sep, F.transform(
+            F.col("_keep_pos"), lambda p: F.element_at(arr, p + 1))))
     return (
-        df.select(key, n_lines)
-        .join(per_doc_kept, key, "left")
+        src.join(kept_pos, key, "left")
         .select(
             key,
-            "n_lines",
+            F.size(F.filter(arr, lambda l: F.length(l) > 0))
+            .cast("long").alias("n_lines"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text", F.lit("")).alias("text"),
+            text.alias("text"),
         )
     )
 

@@ -82,6 +82,54 @@ spark.stop()
 """
 
 
+_CEILING_CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from docling_eval_spark.session import get_spark
+cpus = int(sys.argv[1])
+spark = get_spark("jvm-ceiling", master=f"local[{{cpus}}]",
+                  extra_confs={{"spark.sql.shuffle.partitions": str(cpus)}})
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def mk():
+    return (spark.range(0, 20_000_000, 1, cpus * 2)
+            .withColumn("s", F.concat(F.lit("word stream value number "),
+                                      (F.col("id") % 997).cast("string")))
+            .select(F.sum(F.size(F.split("s", " "))).alias("n")))
+
+
+mk().collect()
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    mk().collect()
+    best = min(best, time.perf_counter() - t0)
+print("CHILD " + str(round(best, 3)))
+spark.stop()
+"""
+
+
+def run_ceiling(cpus: int) -> float:
+    """Same-run hardware ceiling: a pure-JVM string workload (no Python,
+    no shuffle) at the same pinned level. On this shared-host VM,
+    per-core throughput drops as more cores spin (clock/memory-bandwidth
+    throttling); the ceiling separates 'the job doesn't scale' from
+    'the box doesn't scale'."""
+    script = _CEILING_CHILD.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cpus)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("CHILD ")), None)
+    if line is None:
+        sys.stderr.write(proc.stdout[-1000:] + proc.stderr[-2000:])
+        raise RuntimeError(f"ceiling level {cpus} failed")
+    return float(line[len("CHILD "):])
+
+
 def run_level(cpus: int, sf_dir: str, runs: int, replicate: int) -> dict:
     script = _CHILD.format(repo=REPO)
     cmd = [sys.executable, "-c", script, str(cpus), sf_dir, str(runs),
@@ -111,6 +159,9 @@ def main() -> None:
     c_before = canary()
     results = [run_level(l, args.sf_dir, args.runs, args.replicate)
                for l in levels]
+    ceilings = {l: run_ceiling(l) for l in levels}
+    for r in results:
+        r["ceiling_sec"] = ceilings[r["cpus"]]
     out: dict = {"levels": results, "pairs": [],
                  "host_canary_sec": {"before": c_before,
                                      "after": canary()}}
@@ -118,8 +169,10 @@ def main() -> None:
     for n in levels:
         if n * 4 in by:
             eff = (by[n * 4]["docs_per_sec"] / by[n]["docs_per_sec"]) / 4
+            ceil_eff = (ceilings[n] / ceilings[n * 4]) / 4
             out["pairs"].append(
-                {"pair": f"{n}->{n * 4}", "efficiency": round(eff, 3)})
+                {"pair": f"{n}->{n * 4}", "efficiency": round(eff, 3),
+                 "hw_ceiling_efficiency": round(ceil_eff, 3)})
     # invariant: the chain's answer must be identical at every level
     answers = {(r["n_pass"], r["lines_kept"]) for r in results}
     out["answer_invariant"] = len(answers) == 1
