@@ -8,6 +8,7 @@ consolidation wrapper aggregations/multi_evalutor.py + consolidator.py):
     python -m docling_eval_spark.cli score-files  --pred-dir DIR --from-documents DIR --output-dir DIR
     python -m docling_eval_spark.cli visualize    --evaluation FILE.json --output-dir DIR
     python -m docling_eval_spark.cli consolidate  --from-documents DIR --output FILE.csv
+    python -m docling_eval_spark.cli curate       --input PATH --output PATH [--summary FILE.json]
 
 Differences from the reference, by design:
   - datasets are Spark tables (parquet here, Iceberg-shaped), not HF
@@ -205,6 +206,75 @@ def cmd_consolidate(args) -> None:
     print(f"consolidate: {len(rows)} rows -> {args.output}")
 
 
+def cmd_curate(args) -> None:
+    """Web-corpus curation pass over an extracted table: Gopher quality
+    gate -> C4 line/page filters -> PII redaction -> corpus-level line
+    dedup, writing the curated table plus a JSON drop-accounting
+    summary. Cheapest-first ordering: the per-row quality gates run at
+    scan speed and shrink the corpus BEFORE the one shuffle-bearing
+    pass (line dedup) — at 100 TB the dedup only pays for survivors."""
+    from pyspark.sql import functions as F
+
+    from .operators.webtext import (
+        c4_page_filter,
+        corpus_line_dedup,
+        redact_pii,
+        with_gopher_quality,
+    )
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    key, text = args.key, args.text_col
+    n_input = docs.count()
+
+    kept = docs
+    if not args.skip_gopher:
+        flagged = with_gopher_quality(kept, text_col=text,
+                                      min_words=args.min_words)
+        kept = flagged.where("gopher_pass").drop(
+            "n_words", "mean_word_len", "alpha_word_frac", "n_stop",
+            "symbol_ratio", "flag_word_count", "flag_word_len",
+            "flag_symbol", "flag_alpha", "flag_stop", "gopher_pass")
+    if not args.skip_c4:
+        c4 = c4_page_filter(kept, text_col=text,
+                            min_words_per_line=args.min_words_per_line,
+                            min_kept_lines=args.min_kept_lines,
+                            sep=args.sep)
+        kept = c4.where("keep").drop("keep", "n_lines", "n_kept_lines",
+                                     "text_clean")
+    red = redact_pii(kept, text_col=text, out_col=text) \
+        .persist()
+    n_after_filters = red.count()  # materialize before the dedup fan-out
+
+    deduped = corpus_line_dedup(red, key=key, text_col=text, sep=args.sep)
+    payload = red.drop(text)
+    out = (payload.join(deduped, key)
+           .where(F.col("n_kept") > 0))
+    out.write.mode("overwrite").parquet(args.output)
+
+    curated = spark.read.parquet(args.output)
+    pii = red.agg(F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"),
+                  F.sum("n_phones").alias("p")).collect()[0]
+    lines = curated.agg(F.sum("n_lines").alias("t"),
+                        F.sum("n_kept").alias("k")).collect()[0]
+    summary = {
+        "n_input": n_input,
+        "n_after_quality_filters": n_after_filters,
+        "n_output": curated.count(),
+        "pii_redacted": {"emails": int(pii["e"] or 0),
+                         "ips": int(pii["i"] or 0),
+                         "phones": int(pii["p"] or 0)},
+        "lines_seen": int(lines["t"] or 0),
+        "lines_kept": int(lines["k"] or 0),
+    }
+    red.unpersist()
+    spark.catalog.clearCache()
+    if args.summary:
+        with open(args.summary, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(f"curate: {json.dumps(summary)}")
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="docling-eval-spark")
     ap.add_argument("--cpus", type=int, default=None)
@@ -254,6 +324,21 @@ def main(argv: list[str] | None = None) -> None:
     z.add_argument("--evaluation", required=True)
     z.add_argument("--output-dir", required=True)
     z.set_defaults(fn=cmd_visualize)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--key", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--sep", default="\n")
+    cu.add_argument("--min-words", type=int, default=20)
+    cu.add_argument("--min-words-per-line", type=int, default=5)
+    cu.add_argument("--min-kept-lines", type=int, default=1)
+    cu.add_argument("--skip-gopher", action="store_true")
+    cu.add_argument("--skip-c4", action="store_true")
+    cu.add_argument("--summary", default=None)
+    cu.add_argument("--partitions", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("consolidate")
     c.add_argument("--from-documents", default=None)

@@ -52,3 +52,43 @@ def test_cli_lifecycle(spark, sf_dir, tmp_path):
     lines = open(csv).read().strip().splitlines()
     assert lines[0] == "source,de,en,es,fr,zh"
     assert len(lines) == 21
+
+
+def test_cli_curate(spark, tmp_path):
+    from docling_eval_spark import cli
+
+    l1 = "the quick brown fox jumps over the fence."
+    l2 = "a lazy dog sleeps near the old barn today."
+    l3 = "it is a warm day for the whole town."
+    l4 = "another page shares the first line of text."
+    l5 = "but it keeps a second unique line here."
+    pii = ("the offer is for the first ten of the callers today so "
+           "contact bob@mail.example for the details now and then "
+           "tell all of the other people too.")
+    rows = [
+        (1, "\n".join([l1, l2, l3])),
+        (2, "\n".join([l1, l4, l5])),   # l1 duplicates doc 1's copy
+        (3, "tiny."),                   # fails the Gopher word-count gate
+        (4, pii),
+    ]
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    summ = str(tmp_path / "summary.json")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+
+    cli.main(["curate", "--input", inp, "--output", out,
+              "--min-words", "20", "--summary", summ])
+
+    cur = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(cur) == {1, 2, 4}
+    assert cur[1].text == "\n".join([l1, l2, l3])
+    assert cur[2].text == "\n".join([l4, l5])      # shared line removed
+    assert cur[2].n_lines == 3 and cur[2].n_kept == 2
+    assert "<EMAIL>" in cur[4].text and "bob@" not in cur[4].text
+
+    s = json.loads(open(summ).read())
+    assert s["n_input"] == 4
+    assert s["n_after_quality_filters"] == 3
+    assert s["n_output"] == 3
+    assert s["pii_redacted"]["emails"] == 1
+    assert s["lines_seen"] == 7 and s["lines_kept"] == 6
