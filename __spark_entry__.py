@@ -1932,6 +1932,23 @@ def _q_webtext_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, key="doc_id").orderBy("doc_id")
 
 
+def _q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold subsampling at three nested rates;
+    per-rate counts + id checksum gate both membership and nesting."""
+    from docling_eval_spark.operators.webtext import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    parts = []
+    for rate in (0.1, 0.25, 0.5):
+        s = hash_sample(docs, rate=rate, salt="r3")
+        parts.append(s.agg(
+            F.lit(rate).alias("rate"),
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum")))
+    out = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return out.orderBy("rate")
+
+
 def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 line+page filters over punctuation-augmented pseudo-lines
     (every i%3!=0 line gets terminal punctuation; docs at doc_id%17==0
@@ -2032,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_unigram_nll": _q_webtext_unigram_nll,
         "webtext_latest_snapshot": _q_webtext_latest_snapshot,
         "c4_line_filter": _q_c4_line_filter,
+        "hash_sample_docs": _q_hash_sample_docs,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2528,6 +2546,15 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(-ln(cnt / cast(total AS double))), 6) "
             "AS unigram_nll FROM toks JOIN freq USING (tok) "
             "CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "hash_sample_docs": (
+            "WITH r(rate, thr) AS (VALUES (0.1, '19999999'), "
+            "(0.25, '40000000'), (0.5, '80000000')) "
+            "SELECT rate, count(doc_id) AS n, "
+            "cast(coalesce(sum(doc_id), 0) AS bigint) AS id_sum "
+            "FROM r LEFT JOIN documents "
+            "ON substr(md5(doc_id || ':r3'), 1, 8) < thr "
+            "GROUP BY rate ORDER BY rate"
         ),
         "c4_line_filter": (
             "WITH w AS (SELECT doc_id, "

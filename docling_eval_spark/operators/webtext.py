@@ -358,6 +358,29 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     )
 
 
+def hash_sample(df: DataFrame, key: str = "doc_id", rate: float = 0.1,
+                salt: str = "") -> DataFrame:
+    """Deterministic corpus subsampling: keep a row iff the first 8 hex
+    chars of md5(key ":" salt) sort below the rate threshold.
+
+    Unlike df.sample(), the decision is a pure function of the key —
+    stable across runs, partitionings, cluster sizes, and engines
+    (training pipelines subsample crawls this way so reruns and
+    downstream joins see identical documents). Thresholds nest:
+    the rate-r sample is a strict subset of every rate-r' > r sample
+    with the same salt, which gives cheap scale ladders. Rate
+    resolution 1/16^8; no shuffle — the predicate evaluates at the
+    scan and pushes down past column pruning."""
+    if rate >= 1.0:
+        return df
+    if rate <= 0.0:
+        return df.where(F.lit(False))
+    thr = format(int(rate * 16 ** 8), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))), 1, 8)
+    return df.where(h < F.lit(thr))
+
+
 def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Extract the registrable host from a URL column with the built-in
     parse_url (Catalyst expression, codegen-friendly)."""

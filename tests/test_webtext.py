@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from docling_eval_spark.operators.webtext import (
     corpus_line_dedup,
     domain_rollup,
+    hash_sample,
     latest_snapshot,
     redact_pii,
     repetition_stats,
@@ -199,3 +200,28 @@ def test_latest_snapshot_payload_subset(spark):
     out = latest_snapshot(df, payload_cols=["keep"]).collect()[0]
     assert out.keep == "b"
     assert "drop" not in out.asDict()
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in hash_sample(df, rate=0.1, salt="s").collect()}
+    s25 = {r.doc_id for r in hash_sample(df, rate=0.25, salt="s").collect()}
+    s50 = {r.doc_id for r in hash_sample(df, rate=0.5, salt="s").collect()}
+    # same call again -> identical membership (pure function of key+salt)
+    again = {r.doc_id for r in hash_sample(df, rate=0.25, salt="s").collect()}
+    assert again == s25
+    # nesting: lower-rate samples are strict subsets of higher-rate ones
+    assert s10 < s25 < s50
+    # rates land near their targets (md5 is uniform; 2000 keys)
+    assert 120 <= len(s10) <= 280
+    assert 380 <= len(s25) <= 620
+    assert 850 <= len(s50) <= 1150
+    # a different salt draws a different sample
+    other = {r.doc_id for r in hash_sample(df, rate=0.25, salt="t").collect()}
+    assert other != s25
+
+
+def test_hash_sample_edge_rates(spark):
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, rate=1.0).count() == 50
+    assert hash_sample(df, rate=0.0).count() == 0
