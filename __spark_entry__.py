@@ -1949,6 +1949,57 @@ def _q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rate")
 
 
+def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 appendix-C decontamination: every doc_id%41==0 document
+    plays the held-out benchmark; corpus docs sharing any 6-gram with
+    that set are flagged. The 31-word synthetic vocabulary makes
+    collisions frequent enough to exercise both branches."""
+    from docling_eval_spark.operators.webtext import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    out = ngram_contamination(docs, bench, n=6)
+    return out.orderBy("doc_id")
+
+
+def _q_url_filter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb §3.1 URL filtering over synthetic page URLs: three
+    blocklisted hosts, a 'casino' path segment on doc_id%31==0 (hard
+    score 1.0 -> dropped) and 'lottery' on doc_id%37==0 (soft 0.5 ->
+    kept under the 1.0 threshold)."""
+    from docling_eval_spark.operators.webtext import url_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    seg = (
+        F.when((F.col("doc_id") % 31 == 0) & (F.col("doc_id") % 37 == 0),
+               "casino/lottery")
+        .when(F.col("doc_id") % 31 == 0, "casino")
+        .when(F.col("doc_id") % 37 == 0, "lottery")
+        .otherwise("p"))
+    pages = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://host"),
+                 F.lpad((F.col("doc_id") % 97).cast("string"), 4, "0"),
+                 F.lit(".example/"), seg, F.lit("/"),
+                 F.col("doc_id").cast("string")))
+    blocked = [f"host{h:04d}.example" for h in (3, 13, 23)]
+    out = url_filter(pages, blocked_domains=blocked, threshold=1.0)
+    return out.select("doc_id", "domain", "blocked_domain",
+                      "url_score", "url_keep").orderBy("doc_id")
+
+
+def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing at ctx=128 over the corpus
+    token stream in doc_id order; the distributed-prefix-sum plan must
+    reproduce the oracle's single global window byte-for-byte."""
+    from docling_eval_spark.operators.webtext import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return pack_sequences(docs, ctx_len=128).orderBy("doc_id")
+
+
 def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 line+page filters over punctuation-augmented pseudo-lines
     (every i%3!=0 line gets terminal punctuation; docs at doc_id%17==0
@@ -2050,6 +2101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_latest_snapshot": _q_webtext_latest_snapshot,
         "c4_line_filter": _q_c4_line_filter,
         "hash_sample_docs": _q_hash_sample_docs,
+        "ngram_decontaminate": _q_ngram_decontaminate,
+        "url_filter_pages": _q_url_filter_pages,
+        "pack_sequences_docs": _q_pack_sequences_docs,
         # --- tier 3: driver-green in CORRECTNESS_r02.json ---
         "extract_text_md5": _q_extract_text_md5,
         "pdf_extract_text_md5": _q_pdf_extract_text_md5,
@@ -2555,6 +2609,74 @@ def oracle_sql() -> dict[str, str]:
             "FROM r LEFT JOIN documents "
             "ON substr(md5(doc_id || ':r3'), 1, 8) < thr "
             "GROUP BY rate ORDER BY rate"
+        ),
+        "ngram_decontaminate": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "g AS (SELECT doc_id, "
+            "array_to_string(list_slice(ws, i, i + 5), ' ') AS gram "
+            "FROM w, UNNEST(range(1, len(ws) - 4)) AS t(i) "
+            "WHERE len(ws) >= 6), "
+            "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0), "
+            "d AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "m AS (SELECT doc_id, cast(count(*) AS bigint) AS n_matched "
+            "FROM d JOIN b USING (gram) GROUP BY doc_id) "
+            "SELECT w.doc_id, "
+            "cast(greatest(len(ws) - 5, 0) AS bigint) AS n_grams, "
+            "cast(coalesce(m.n_matched, 0) AS bigint) AS n_matched, "
+            "coalesce(m.n_matched, 0) >= 1 AS contaminated "
+            "FROM w LEFT JOIN m ON w.doc_id = m.doc_id ORDER BY w.doc_id"
+        ),
+        "url_filter_pages": (
+            "WITH p AS (SELECT doc_id, "
+            "'host' || lpad(cast(doc_id % 97 AS varchar), 4, '0') "
+            "|| '.example' AS domain, "
+            "'https://host' || lpad(cast(doc_id % 97 AS varchar), 4, '0') "
+            "|| '.example/' || "
+            "CASE WHEN doc_id % 31 = 0 AND doc_id % 37 = 0 "
+            "THEN 'casino/lottery' "
+            "WHEN doc_id % 31 = 0 THEN 'casino' "
+            "WHEN doc_id % 37 = 0 THEN 'lottery' ELSE 'p' END "
+            "|| '/' || cast(doc_id AS varchar) AS url FROM documents) "
+            "SELECT doc_id, domain, "
+            "domain IN ('host0003.example', 'host0013.example', "
+            "'host0023.example') AS blocked_domain, "
+            "round((CASE WHEN url LIKE '%casino%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%webcam%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%escort%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%porn%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%xxx%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%lottery%' THEN 0.5 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%betting%' THEN 0.5 ELSE 0 END), 6) "
+            "AS url_score, "
+            "NOT domain IN ('host0003.example', 'host0013.example', "
+            "'host0023.example') AND "
+            "(CASE WHEN url LIKE '%casino%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%webcam%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%escort%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%porn%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%xxx%' THEN 1.0 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%lottery%' THEN 0.5 ELSE 0 END) + "
+            "(CASE WHEN url LIKE '%betting%' THEN 0.5 ELSE 0 END) < 1.0 "
+            "AS url_keep FROM p ORDER BY doc_id"
+        ),
+        "pack_sequences_docs": (
+            "WITH t AS (SELECT doc_id, "
+            "cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "cast(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) "
+            "AS cum FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "cast(cum - n_tokens AS bigint) AS tok_start, "
+            "cast(floor((cum - n_tokens) / 128.0) AS bigint) AS seq_first, "
+            "cast(CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 128.0) "
+            "ELSE floor((cum - n_tokens) / 128.0) END AS bigint) AS seq_last, "
+            "cast(CASE WHEN n_tokens > 0 THEN "
+            "floor((cum - 1) / 128.0) - floor((cum - n_tokens) / 128.0) + 1 "
+            "ELSE 0 END AS bigint) AS n_seqs "
+            "FROM c ORDER BY doc_id"
         ),
         "c4_line_filter": (
             "WITH w AS (SELECT doc_id, "

@@ -23,7 +23,14 @@ over it (CCNet, Gopher/MassiveText, C4, RefinedWeb — all published):
   back, per-doc score),
 - latest-snapshot-per-url collapse across recrawls (max_by on
   warc_ts — partial-aggregable, unlike a window row_number which
-  sorts every group).
+  sorts every group),
+- deterministic hash-threshold subsampling with nested rates
+  (reproducible corpus scale ladders),
+- benchmark n-gram decontamination (GPT-3 appendix C: broadcast the
+  eval-set gram table, stream-probe the corpus),
+- URL blocklist + banned-word scoring (RefinedWeb section 3.1),
+- context-window sequence packing via a distributed prefix sum
+  (per-bucket windows + broadcast offsets — no global sort).
 
 Everything is built from JVM-side pyspark.sql.functions (no Python in
 the hot path anywhere in this module); the corpus-wide passes are
@@ -379,6 +386,182 @@ def hash_sample(df: DataFrame, key: str = "doc_id", rate: float = 0.1,
     h = F.substring(
         F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))), 1, 8)
     return df.where(h < F.lit(thr))
+
+
+def ngram_contamination(df: DataFrame, benchmark: DataFrame,
+                        n: int = 13, key: str = "doc_id",
+                        text_col: str = "text",
+                        bench_text_col: str = "text",
+                        min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    whitespace-token n-grams with a held-out evaluation set.
+
+    GPT-3 (Brown et al. 2020, appendix C) removed training documents
+    with a 13-gram collision against any benchmark; every serious
+    pipeline since runs some variant. Shape: the benchmark side is
+    tiny relative to the corpus (eval suites are ~1e5 documents), so
+    its distinct n-gram set is BROADCAST and the corpus side
+    stream-probes it — no shuffle of corpus text, no all-pairs. The
+    per-doc gram explosion is O(total corpus tokens), the same order
+    as tokenization itself; distinct-per-doc grams are reduced
+    map-side before the count.
+
+    Returns (key, n_grams, n_matched, contaminated) per corpus doc.
+    Docs shorter than n tokens have zero grams and are never flagged.
+    """
+    def grams(frame: DataFrame, k: str, col: str) -> DataFrame:
+        ws = _words(F.col(col))
+        idx = F.when(
+            F.size(ws) >= n,
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+        return frame.select(F.col(k).alias(key), F.explode_outer(g).alias("gram"))
+
+    bench_grams = (
+        grams(benchmark, key, bench_text_col)
+        .where(F.col("gram").isNotNull()).select("gram").distinct()
+    )
+    doc_grams = grams(df, key, text_col)
+    hits = (
+        doc_grams.where(F.col("gram").isNotNull())
+        .dropDuplicates([key, "gram"])
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(key).agg(F.count_if(F.lit(True)).alias("n_matched"))
+    )
+    totals = doc_grams.groupBy(key).agg(
+        F.count_if(F.col("gram").isNotNull()).alias("n_grams"))
+    return (
+        totals.join(hits, key, "left")
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        .withColumn("contaminated", F.col("n_matched") >= F.lit(min_hits))
+    )
+
+
+def url_filter(df: DataFrame, url_col: str = "url",
+               blocked_domains: list[str] | DataFrame | None = None,
+               banned_words: list[tuple[str, float]] | None = None,
+               threshold: float = 1.0) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): a hard
+    domain blocklist plus a soft score over banned substrings of the
+    URL; a page survives if its domain is not blocked AND its banned-
+    word score stays under `threshold`.
+
+    `blocked_domains` may be a Python list (registered as an in-plan
+    literal set — fine for curated lists of thousands) or a DataFrame
+    with a `domain` column (broadcast left-semi/anti join — the path
+    for the multi-million-entry commercial blocklists RefinedWeb
+    used). `banned_words` is [(substring, weight)]; score = sum of
+    weights of substrings present in the lowercased URL. All checks
+    are Catalyst expressions on the URL column — no shuffle, the
+    filter evaluates at the scan.
+
+    Returns the input plus (domain, blocked_domain, url_score, url_keep).
+    """
+    banned_words = banned_words if banned_words is not None else [
+        ("casino", 1.0), ("webcam", 1.0), ("escort", 1.0),
+        ("porn", 1.0), ("xxx", 1.0), ("lottery", 0.5), ("betting", 0.5),
+    ]
+    out = with_domain(df, url_col)
+    if isinstance(blocked_domains, DataFrame):
+        flagged = (
+            blocked_domains.select(F.col("domain").alias("_bd"))
+            .distinct().withColumn("_blocked", F.lit(True))
+        )
+        out = (
+            out.join(F.broadcast(flagged),
+                     out["domain"] == flagged["_bd"], "left")
+            .withColumn("blocked_domain", F.coalesce("_blocked", F.lit(False)))
+            .drop("_bd", "_blocked")
+        )
+    else:
+        out = out.withColumn(
+            "blocked_domain",
+            F.col("domain").isin(blocked_domains) if blocked_domains
+            else F.lit(False))
+    low = F.lower(F.col(url_col))
+    score = None
+    for word, weight in banned_words:
+        term = F.when(low.contains(word), F.lit(weight)).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    out = out.withColumn("url_score", F.round(score, 6))
+    return out.withColumn(
+        "url_keep",
+        ~F.col("blocked_domain") & (F.col("url_score") < F.lit(threshold)))
+
+
+def pack_sequences(df: DataFrame, ctx_len: int = 2048,
+                   key: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 256) -> DataFrame:
+    """Context-window packing: concatenate the token stream of the
+    corpus in `key` order and chunk it every `ctx_len` tokens — the
+    standard GPT-style pretraining batcher (documents are split at
+    window boundaries, nothing is padded away).
+
+    The global running token total is the crux at scale: the textbook
+    `sum() OVER (ORDER BY key)` window is a single-reducer sort of the
+    whole corpus. Instead this runs the classic distributed prefix
+    sum: (1) one cheap agg finds the key range; (2) keys are
+    hash-free range-bucketed by arithmetic on the numeric key (no
+    sampling — deterministic); (3) per-bucket token totals (a few
+    hundred rows) come to the driver, exclusive offsets go back as a
+    broadcast join; (4) a window PARTITIONED BY bucket computes the
+    local cumsum, so every window fits one task and no global sort
+    ever happens. Requires a numeric key (web pipelines use the
+    crawl-assigned page id); byte-identical to the global window.
+
+    Returns (key, n_tokens, tok_start, seq_first, seq_last, n_seqs)
+    where seq_* are the first/last ctx windows the document lands in.
+    """
+    toks = df.select(
+        key, F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"))
+    # Three downstream jobs (range probe, bucket partials, final join)
+    # consume this frame; materialize the cache in its own job first so
+    # the text split runs once, not once per consumer.
+    toks = toks.persist()
+    toks.count()
+    lo, hi = toks.agg(F.min(key), F.max(key)).first()
+    if lo is None:
+        return toks.select(
+            key, "n_tokens",
+            F.lit(0).cast("long").alias("tok_start"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_last"),
+            F.lit(0).cast("long").alias("n_seqs"))
+    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    bucket = ((F.col(key) - F.lit(int(lo))) / F.lit(width)).cast("long")
+    toks = toks.withColumn("_b", bucket)
+    per_bucket = sorted(
+        toks.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect())
+    offset, offsets = 0, []
+    for b, t in per_bucket:
+        offsets.append((b, offset))
+        offset += int(t)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["_b", "_off"])
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("_b").orderBy(key) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = toks.join(F.broadcast(off_df), "_b")
+    cum = (F.col("_off") + F.sum("n_tokens").over(w)).cast("long")
+    out = (
+        local
+        .withColumn("tok_start", cum - F.col("n_tokens"))
+        .withColumn("seq_first", F.floor(F.col("tok_start") / ctx_len))
+        .withColumn(
+            "seq_last",
+            F.when(F.col("n_tokens") > 0,
+                   F.floor((cum - 1) / ctx_len))
+            .otherwise(F.floor(F.col("tok_start") / ctx_len)))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("seq_last") - F.col("seq_first") + 1)
+            .otherwise(F.lit(0)))
+    )
+    return out.select(key, "n_tokens", "tok_start",
+                      "seq_first", "seq_last", "n_seqs")
 
 
 def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:

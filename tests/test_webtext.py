@@ -225,3 +225,94 @@ def test_hash_sample_edge_rates(spark):
     df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
     assert hash_sample(df, rate=1.0).count() == 50
     assert hash_sample(df, rate=0.0).count() == 0
+
+
+def test_ngram_contamination_flags_shared_grams(spark):
+    from docling_eval_spark.operators.webtext import ngram_contamination
+
+    bench = spark.createDataFrame([(100, "a b c")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "a b x y"),      # shares 2-gram "a b"
+         (2, "x y z w"),      # shares "x y" with doc 1 but NOT with bench
+         (3, "q")],           # too short for any 2-gram
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           ngram_contamination(docs, bench, n=2).collect()}
+    assert (out[1].n_grams, out[1].n_matched, out[1].contaminated) == (3, 1, True)
+    assert (out[2].n_grams, out[2].n_matched, out[2].contaminated) == (3, 0, False)
+    assert (out[3].n_grams, out[3].n_matched, out[3].contaminated) == (0, 0, False)
+
+
+def test_ngram_contamination_counts_distinct_grams_once(spark):
+    from docling_eval_spark.operators.webtext import ngram_contamination
+
+    bench = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    # "a b" occurs twice in the doc -> must count once
+    docs = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    out = ngram_contamination(docs, bench, n=2).collect()[0]
+    assert out.n_grams == 3 and out.n_matched == 1
+
+
+def test_url_filter_list_blocklist_and_scores(spark):
+    from docling_eval_spark.operators.webtext import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://ok.example/page"),
+         (2, "https://bad.example/page"),
+         (3, "https://ok.example/casino/x"),
+         (4, "https://ok.example/lottery/x"),
+         (5, "https://ok.example/lottery/betting")],
+        ["doc_id", "url"])
+    out = {r.doc_id: r for r in
+           url_filter(df, blocked_domains=["bad.example"]).collect()}
+    assert out[1].url_keep and out[1].url_score == 0.0
+    assert out[2].blocked_domain and not out[2].url_keep
+    assert out[3].url_score == 1.0 and not out[3].url_keep
+    assert out[4].url_score == 0.5 and out[4].url_keep
+    assert out[5].url_score == 1.0 and not out[5].url_keep
+
+
+def test_url_filter_dataframe_blocklist(spark):
+    from docling_eval_spark.operators.webtext import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x"), (2, "https://b.example/x")],
+        ["doc_id", "url"])
+    bl = spark.createDataFrame([("b.example",), ("b.example",)], ["domain"])
+    out = {r.doc_id: r for r in url_filter(df, blocked_domains=bl).collect()}
+    assert not out[1].blocked_domain and out[1].url_keep
+    assert out[2].blocked_domain and not out[2].url_keep
+
+
+def test_pack_sequences_hand_computed(spark):
+    from docling_eval_spark.operators.webtext import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "w w w w w"), (2, "w w w"), (3, "w w w w")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in pack_sequences(df, ctx_len=4).collect()}
+    assert (out[1].tok_start, out[1].seq_first, out[1].seq_last,
+            out[1].n_seqs) == (0, 0, 1, 2)
+    assert (out[2].tok_start, out[2].seq_first, out[2].seq_last,
+            out[2].n_seqs) == (5, 1, 1, 1)
+    assert (out[3].tok_start, out[3].seq_first, out[3].seq_last,
+            out[3].n_seqs) == (8, 2, 2, 1)
+
+
+def test_pack_sequences_bucketing_matches_global_cumsum(spark):
+    from docling_eval_spark.operators.webtext import pack_sequences
+
+    # irregular keys with gaps; few buckets force multi-doc buckets
+    rows = [(k, "t " * ((k * 7) % 11 + 1)) for k in
+            [3, 8, 21, 22, 40, 41, 55, 90, 91, 97]]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           pack_sequences(df, ctx_len=8, n_buckets=3).collect()}
+    cum = 0
+    for k, text in rows:
+        nt = len(text.split())
+        assert out[k].n_tokens == nt
+        assert out[k].tok_start == cum
+        assert out[k].seq_first == cum // 8
+        assert out[k].seq_last == (cum + nt - 1) // 8
+        cum += nt
