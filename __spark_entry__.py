@@ -1949,6 +1949,51 @@ def _q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rate")
 
 
+def _q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing application step: per-language keep rates (en kept
+    whole via the rate-1.0 clamp, de/zh thinned, es/fr dropped as
+    absent from the map); gated on per-stratum counts + id checksum."""
+    from docling_eval_spark.operators.webtext import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    kept = stratified_hash_sample(
+        docs, {"en": 1.0, "de": 0.25, "zh": 0.1}, strata_col="lang",
+        salt="mix")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count_if(F.lit(True)).alias("n"),
+             F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang"))
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster connected components over a deterministic edge
+    set: star edges from exact-text families plus length-6 id chains
+    (doc_id%50 in 1..5), so multi-hop label propagation is exercised;
+    oracle = DuckDB recursive-CTE transitive closure."""
+    from docling_eval_spark.operators.dedup import dup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    fam = hashed.groupBy("h").agg(F.min("doc_id").alias("mn"))
+    star = (
+        hashed.join(fam, "h")
+        .where(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("a"), F.col("mn").alias("b")))
+    chains = (
+        docs.where((F.col("doc_id") % 50).between(1, 5))
+        .select((F.col("doc_id") - 1).alias("a"),
+                F.col("doc_id").alias("b")))
+    comps = dup_components(star.unionByName(chains))
+    return (
+        docs.join(comps, docs["doc_id"] == comps["node"], "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("component"))
+        .orderBy("doc_id"))
+
+
 def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3 appendix-C decontamination: every doc_id%41==0 document
     plays the held-out benchmark; corpus docs sharing any 6-gram with
@@ -2101,6 +2146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_latest_snapshot": _q_webtext_latest_snapshot,
         "c4_line_filter": _q_c4_line_filter,
         "hash_sample_docs": _q_hash_sample_docs,
+        "stratified_sample_langs": _q_stratified_sample_langs,
+        "dedup_components": _q_dedup_components,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2609,6 +2656,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM r LEFT JOIN documents "
             "ON substr(md5(doc_id || ':r3'), 1, 8) < thr "
             "GROUP BY rate ORDER BY rate"
+        ),
+        "stratified_sample_langs": (
+            "WITH r(lang, thr) AS (VALUES ('de', '40000000'), "
+            "('en', 'g'), ('zh', '19999999')) "
+            "SELECT lang, cast(count(*) AS bigint) AS n, "
+            "cast(sum(doc_id) AS bigint) AS id_sum "
+            "FROM documents JOIN r USING (lang) "
+            "WHERE substr(md5(doc_id || ':mix'), 1, 8) < thr "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "dedup_components": (
+            "WITH RECURSIVE fam AS (SELECT md5(text) AS h, "
+            "min(doc_id) AS mn FROM documents GROUP BY md5(text)), "
+            "e0 AS (SELECT d.doc_id AS a, fam.mn AS b FROM documents d "
+            "JOIN fam ON md5(d.text) = fam.h WHERE d.doc_id <> fam.mn "
+            "UNION SELECT doc_id - 1, doc_id FROM documents "
+            "WHERE doc_id % 50 BETWEEN 1 AND 5), "
+            "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), "
+            "reach(node, comp) AS (SELECT a, a FROM e "
+            "UNION SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.node), "
+            "mc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node) "
+            "SELECT d.doc_id, "
+            "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
+            "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
+            "ORDER BY d.doc_id"
         ),
         "ngram_decontaminate": (
             "WITH w AS (SELECT doc_id, "

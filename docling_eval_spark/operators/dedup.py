@@ -429,6 +429,79 @@ def near_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id",
     return out
 
 
+# -- duplicate-cluster connected components -----------------------------------
+
+
+def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate duplicate pairs: every node
+    gets the minimum key reachable from it as its cluster id — the
+    union-find step a web-dedup pipeline runs after LSH so that whole
+    duplicate FAMILIES collapse to one canonical document (a greedy
+    pair drop can over- or under-delete chained near-dups).
+
+    Distributed algorithm: min-label propagation with pointer doubling
+    (the star-contraction family of Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"). Each round (1) pulls every
+    neighbor's label and keeps the min, then (2) short-circuits
+    l(u) <- l(l(u)), so label distance halves per round on top of the
+    one-hop pull: O(log diameter) rounds, and dup clusters are
+    near-cliques with tiny diameters. Every round is two keyed
+    shuffles over (node, component) ints only — document text never
+    enters the loop. Each round ends in localCheckpoint(eager=True):
+    persist alone does NOT truncate the logical plan of an iterative
+    job, and the union+self-join structure doubles the tree per round
+    until the driver OOMs planning it (hit in this repo's tests at a
+    33-node path). A cluster deployment would swap in reliable
+    `checkpoint()` so labels survive executor loss. Convergence =
+    zero labels changed; `max_iter` is a backstop.
+
+    Input: pairs with columns (a, b). Returns (node, component) for
+    every node appearing in any pair; callers re-attach singletons
+    with a left join + coalesce.
+    """
+    edges = (
+        pairs.select("a", "b")
+        .unionByName(pairs.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+        .distinct().persist()
+    )
+    edges.count()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        pulled = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(edges["a"].alias("node"), "component")
+        )
+        merged = (
+            labels.unionByName(pulled)
+            .groupBy("node").agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: follow the label one more step
+        tgt = merged.select(F.col("node").alias("_t"),
+                            F.col("component").alias("_tc"))
+        new_labels = (
+            merged.join(tgt, merged["component"] == F.col("_t"), "left")
+            .select("node",
+                    F.least(F.coalesce(F.col("_tc"), F.col("component")),
+                            F.col("component")).alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "node")
+            .where(F.col("component") != F.col("_old")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # -- deterministic near-dup corpus derivation (for gates/benchmarks) ----------
 
 

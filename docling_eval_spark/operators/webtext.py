@@ -388,6 +388,38 @@ def hash_sample(df: DataFrame, key: str = "doc_id", rate: float = 0.1,
     return df.where(h < F.lit(thr))
 
 
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           strata_col: str = "lang", key: str = "doc_id",
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic subsampling — the application step of
+    data-mixing weights (language/domain/source proportions a la
+    DoReMi or the Pile): each stratum keeps its own md5-threshold
+    fraction of rows, decided purely by (key, salt) exactly like
+    hash_sample, so per-stratum samples nest across rates and are
+    reproducible everywhere.
+
+    `rates` maps stratum value -> keep rate in [0, 1]. Strata absent
+    from the map are DROPPED (mixing weights are explicit). The rate
+    table ships as a broadcast literal frame and the comparison is a
+    single string predicate — no shuffle, evaluates at the scan."""
+    spark = df.sparkSession
+    rows = []
+    for stratum, rate in sorted(rates.items()):
+        rate = min(max(float(rate), 0.0), 1.0)
+        # rate 1.0 would format to 9 hex chars and string-compare wrong;
+        # 'g' sorts above every hex digest, keeping everything.
+        thr_hex = "g" if rate >= 1.0 else format(int(rate * 16 ** 8), "08x")
+        rows.append((stratum, thr_hex))
+    thr = spark.createDataFrame(rows, [strata_col, "_thr"])
+    h = F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))), 1, 8)
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .where(h < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def ngram_contamination(df: DataFrame, benchmark: DataFrame,
                         n: int = 13, key: str = "doc_id",
                         text_col: str = "text",

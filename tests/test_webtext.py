@@ -316,3 +316,25 @@ def test_pack_sequences_bucketing_matches_global_cumsum(spark):
         assert out[k].seq_first == cum // 8
         assert out[k].seq_last == (cum + nt - 1) // 8
         cum += nt
+
+
+def test_stratified_hash_sample_matches_global_per_stratum(spark):
+    from docling_eval_spark.operators.webtext import stratified_hash_sample
+
+    df = spark.range(0, 900).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("doc_id") % 3 + 1).cast("int")))
+    out = stratified_hash_sample(
+        df, {"en": 1.0, "de": 0.25}, strata_col="lang", salt="s")
+    rows = out.collect()
+    # zh absent from the map -> dropped entirely
+    assert all(r.lang != "zh" for r in rows)
+    # en at rate 1.0 -> every en row survives (the 'g' clamp)
+    assert sum(r.lang == "en" for r in rows) == 300
+    # de membership == the global hash_sample at the same rate+salt,
+    # restricted to the stratum (the per-stratum nesting invariant)
+    de_kept = {r.doc_id for r in rows if r.lang == "de"}
+    global_kept = {r.doc_id
+                   for r in hash_sample(df, rate=0.25, salt="s").collect()}
+    assert de_kept == {k for k in global_kept if k % 3 == 1}
