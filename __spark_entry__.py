@@ -2008,6 +2008,18 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 exact duplicate-span measurement at n=8 tokens:
+    per-doc count of positions inside corpus-repeated 8-grams and the
+    interval-merged token coverage (the 31-word vocab yields ~5% dup
+    grams, exercising merge gaps and the zero branch)."""
+    from docling_eval_spark.operators.webtext import duplicate_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return duplicate_span_stats(docs, n=8).orderBy("doc_id")
+
+
 def _q_url_filter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb §3.1 URL filtering over synthetic page URLs: three
     blocklisted hosts, a 'casino' path segment on doc_id%31==0 (hard
@@ -2148,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_langs": _q_stratified_sample_langs,
         "dedup_components": _q_dedup_components,
+        "duplicate_spans": _q_duplicate_spans,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2681,6 +2694,32 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "duplicate_spans": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "g AS (SELECT doc_id, i AS pos, "
+            "md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS g "
+            "FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i) "
+            "WHERE len(ws) >= 8), "
+            "d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2), "
+            "h AS (SELECT doc_id, pos FROM g JOIN d USING (g)), "
+            "c AS (SELECT doc_id, CASE WHEN lag(pos) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) IS NULL THEN 8 "
+            "ELSE least(8, pos - lag(pos) OVER "
+            "(PARTITION BY doc_id ORDER BY pos)) END AS cov FROM h), "
+            "p AS (SELECT doc_id, cast(count(*) AS bigint) "
+            "AS n_dup_positions, cast(sum(cov) AS bigint) "
+            "AS dup_covered_tokens FROM c GROUP BY doc_id) "
+            "SELECT w.doc_id, cast(len(ws) AS bigint) AS n_tokens, "
+            "cast(greatest(len(ws) - 7, 0) AS bigint) AS n_grams, "
+            "cast(coalesce(p.n_dup_positions, 0) AS bigint) "
+            "AS n_dup_positions, "
+            "cast(coalesce(p.dup_covered_tokens, 0) AS bigint) "
+            "AS dup_covered_tokens, "
+            "round(coalesce(p.dup_covered_tokens, 0) / len(ws), 6) "
+            "AS dup_frac "
+            "FROM w LEFT JOIN p ON w.doc_id = p.doc_id ORDER BY w.doc_id"
         ),
         "ngram_decontaminate": (
             "WITH w AS (SELECT doc_id, "

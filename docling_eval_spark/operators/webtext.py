@@ -30,7 +30,9 @@ over it (CCNet, Gopher/MassiveText, C4, RefinedWeb — all published):
   eval-set gram table, stream-probe the corpus),
 - URL blocklist + banned-word scoring (RefinedWeb section 3.1),
 - context-window sequence packing via a distributed prefix sum
-  (per-bucket windows + broadcast offsets — no global sort).
+  (per-bucket windows + broadcast offsets — no global sort),
+- exact duplicate-span measurement (Lee et al. 2022 suffix-array
+  dedup re-expressed as an n-gram index + interval merge).
 
 Everything is built from JVM-side pyspark.sql.functions (no Python in
 the hot path anywhere in this module); the corpus-wide passes are
@@ -467,6 +469,81 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
         totals.join(hits, key, "left")
         .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
         .withColumn("contaminated", F.col("n_matched") >= F.lit(min_hits))
+    )
+
+
+def duplicate_span_stats(df: DataFrame, n: int = 50,
+                         key: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exact duplicate-span detection: for every document, how many of
+    its token positions sit inside a length-n token window that occurs
+    MORE THAN ONCE anywhere in the corpus.
+
+    This is the measurement half of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which dedups exact
+    50-token substrings with a suffix array. A suffix array is a
+    single-machine structure; the distributed equivalent indexes every
+    token n-gram: (1) explode (gram-hash, doc, pos) — O(corpus
+    tokens), same order as tokenization; (2) one groupBy on the
+    128-bit gram hash keeps hashes seen >= 2 times (map-side partial
+    counts absorb the duplicates that matter); (3) join back and
+    interval-merge each doc's duplicated windows. The merge needs no
+    collect: windows all have length n, so sorted by position the
+    coverage is n for the first window plus min(n, gap) for each
+    successor — a lag window partitioned by document.
+
+    Returns (key, n_tokens, n_grams, n_dup_positions,
+    dup_covered_tokens, dup_frac)."""
+    ws = _words(F.col(text_col))
+    base = df.select(key, ws.alias("_ws"))
+    idx = F.when(
+        F.size("_ws") >= n,
+        F.sequence(F.lit(1), F.size("_ws") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        base.select(
+            key, F.size("_ws").cast("long").alias("n_tokens"),
+            F.explode_outer(
+                F.transform(idx, lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), i, n)))
+                    .alias("g")))).alias("gp"))
+        .select(key, "n_tokens", F.col("gp.pos").alias("pos"),
+                F.col("gp.g").alias("g"))
+    )
+    grams = grams.persist()
+    grams.count()  # two consumers below: totals + the dup join
+    dup = (
+        grams.where(F.col("g").isNotNull())
+        .groupBy("g").agg(F.count_if(F.lit(True)).alias("_c"))
+        .where(F.col("_c") >= 2).select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi")
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy("pos")
+    contrib = F.when(
+        F.lag("pos").over(w).isNull(), F.lit(n)
+    ).otherwise(F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)))
+    per_doc = (
+        hits.withColumn("_cov", contrib)
+        .groupBy(key)
+        .agg(F.count_if(F.lit(True)).alias("n_dup_positions"),
+             F.sum("_cov").cast("long").alias("dup_covered_tokens"))
+    )
+    totals = grams.groupBy(key).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count_if(F.col("g").isNotNull()).alias("n_grams"))
+    return (
+        totals.join(per_doc, key, "left")
+        .select(
+            key, "n_tokens", "n_grams",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long")
+            .alias("n_dup_positions"),
+            F.coalesce("dup_covered_tokens", F.lit(0)).cast("long")
+            .alias("dup_covered_tokens"))
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_covered_tokens") / F.col("n_tokens"), 6))
     )
 
 

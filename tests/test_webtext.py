@@ -338,3 +338,25 @@ def test_stratified_hash_sample_matches_global_per_stratum(spark):
     global_kept = {r.doc_id
                    for r in hash_sample(df, rate=0.25, salt="s").collect()}
     assert de_kept == {k for k in global_kept if k % 3 == 1}
+
+
+def test_duplicate_span_stats_hand_computed(spark):
+    from docling_eval_spark.operators.webtext import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c"),   # "a b c" at pos 1 and 5 -> merge gap 4
+         (2, "x y z a b c q"),   # shares "a b c" with doc 1 at pos 4
+         (3, "p q r"),           # unique gram, no dups
+         (4, "s t"),             # too short for any 3-gram
+         (5, "m m m m")],        # overlapping dup windows pos 1,2
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicate_span_stats(df, n=3).collect()}
+    assert (out[1].n_tokens, out[1].n_grams) == (7, 5)
+    assert (out[1].n_dup_positions, out[1].dup_covered_tokens) == (2, 6)
+    assert out[1].dup_frac == pytest.approx(6 / 7, abs=1e-6)
+    assert (out[2].n_dup_positions, out[2].dup_covered_tokens) == (1, 3)
+    assert (out[3].n_grams, out[3].n_dup_positions) == (1, 0)
+    assert (out[4].n_grams, out[4].dup_covered_tokens, out[4].dup_frac) == (0, 0, 0.0)
+    # overlapping windows: 3 + min(3, 1) = 4 tokens = the whole doc
+    assert (out[5].n_dup_positions, out[5].dup_covered_tokens) == (2, 4)
+    assert out[5].dup_frac == 1.0
