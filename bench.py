@@ -47,6 +47,9 @@ GROUPS: dict[str, list[str]] = {
     "webtext": [
         "webtext_line_dedup", "gopher_quality", "webtext_repetition",
         "webtext_unigram_nll",
+        # round-3 additions (BENCH.md: excluded from cross-round
+        # common-subtotal comparisons)
+        "duplicate_spans", "dedup_components", "pack_sequences_docs",
     ],
 }
 
