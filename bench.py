@@ -47,8 +47,11 @@ GROUPS: dict[str, list[str]] = {
     "webtext": [
         "webtext_line_dedup", "gopher_quality", "webtext_repetition",
         "webtext_unigram_nll",
-        # round-3 additions (BENCH.md: excluded from cross-round
-        # common-subtotal comparisons)
+    ],
+    # round-3 training-batch tier; own fresh JVM so the webtext group's
+    # cross-round numbers stay comparable (BENCH.md: excluded from
+    # common-subtotal comparisons)
+    "corpus": [
         "duplicate_spans", "dedup_components", "pack_sequences_docs",
     ],
 }
