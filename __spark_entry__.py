@@ -2008,6 +2008,46 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style canonicalization gate: doc_id%3==0 docs get
+    deterministic noise (leading space, doubled spaces, trailing
+    tab+BEL); normalization must recover the ORIGINAL text byte-exactly
+    (identity flag) and mark exactly those docs changed."""
+    from docling_eval_spark.operators.webtext import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    noisy = docs.withColumn(
+        "text_noisy",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" "),
+                        F.regexp_replace("text", " ", "  "),
+                        F.lit("\t\x07")))
+        .otherwise(F.col("text")))
+    out = normalize_text(noisy, text_col="text_noisy")
+    return out.select(
+        "doc_id",
+        F.col("text_norm_changed").alias("changed"),
+        F.md5("text_norm").alias("norm_md5"),
+        (F.md5("text_norm") == F.md5("text")).alias("recovers_original"),
+    ).orderBy("doc_id")
+
+
+def _q_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: even doc_ids play yesterday's corpus,
+    odd doc_ids the new batch; batch rows whose text exists in history
+    drop, within-batch families collapse to min id."""
+    from docling_eval_spark.operators.dedup import dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    kept = dedup_against(batch, history)
+    return kept.select(
+        "doc_id", F.md5("text").alias("text_md5")).orderBy("doc_id")
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2022 exact duplicate-span measurement at n=8 tokens:
     per-doc count of positions inside corpus-repeated 8-grams and the
@@ -2161,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_langs": _q_stratified_sample_langs,
         "dedup_components": _q_dedup_components,
         "duplicate_spans": _q_duplicate_spans,
+        "normalize_text": _q_normalize_text,
+        "dedup_against_history": _q_dedup_against_history,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2694,6 +2736,30 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "normalize_text": (
+            "WITH noisy AS (SELECT doc_id, text, "
+            "CASE WHEN doc_id % 3 = 0 THEN ' ' || "
+            "replace(text, ' ', '  ') || chr(9) || chr(7) "
+            "ELSE text END AS text_noisy FROM documents), "
+            "n AS (SELECT doc_id, text, text_noisy, "
+            "trim(regexp_replace(regexp_replace(nfc_normalize(text_noisy), "
+            "'[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), "
+            "'[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS text_norm FROM noisy) "
+            "SELECT doc_id, text_norm <> text_noisy AS changed, "
+            "md5(text_norm) AS norm_md5, "
+            "md5(text_norm) = md5(text) AS recovers_original "
+            "FROM n ORDER BY doc_id"
+        ),
+        "dedup_against_history": (
+            "WITH h AS (SELECT DISTINCT md5(text) AS _h FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "b AS (SELECT doc_id, md5(text) AS _h FROM documents "
+            "WHERE doc_id % 2 = 1), "
+            "s AS (SELECT doc_id, _h FROM b "
+            "WHERE _h NOT IN (SELECT _h FROM h)) "
+            "SELECT min(doc_id) AS doc_id, _h AS text_md5 FROM s "
+            "GROUP BY _h ORDER BY doc_id"
         ),
         "duplicate_spans": (
             "WITH w AS (SELECT doc_id, "

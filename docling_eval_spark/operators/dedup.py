@@ -429,6 +429,31 @@ def near_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id",
     return out
 
 
+# -- incremental dedup against an existing corpus -----------------------------
+
+
+def dedup_against(df: DataFrame, history: DataFrame,
+                  text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: drop rows of a new batch whose text
+    already exists in a previously-ingested corpus, then collapse
+    within-batch exact families to their min-key representative.
+
+    This is the steady-state shape of web ingestion — each new crawl
+    dedups against everything already kept, not against itself alone.
+    Only 128-bit hashes move: the history side reduces to a distinct
+    hash column (a real deployment materializes that hash column once
+    at ingest and never rescans history text), the anti-join and the
+    min-key groupBy both shuffle hashes + keys only, and map-side
+    partial aggregation absorbs the duplicate mass. No text column
+    ever crosses an exchange.
+    """
+    new_h = df.withColumn("_h", F.md5(F.col(text_col)))
+    hist_h = history.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    survivors = new_h.join(hist_h, "_h", "left_anti")
+    keep = survivors.groupBy("_h").agg(F.min(key).alias(key))
+    return survivors.join(keep, ["_h", key], "left_semi").drop("_h")
+
+
 # -- duplicate-cluster connected components -----------------------------------
 
 

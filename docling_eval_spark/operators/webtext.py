@@ -42,6 +42,9 @@ shaped so the shuffles are keyed and partial-aggregated the way a
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -388,6 +391,53 @@ def hash_sample(df: DataFrame, key: str = "doc_id", rate: float = 0.1,
     h = F.substring(
         F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))), 1, 8)
     return df.where(h < F.lit(thr))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Unicode-and-whitespace canonicalization ahead of hashing —
+    CCNet normalizes text before dedup keys are computed so that
+    byte-level encoding noise (decomposed accents, NBSP runs, control
+    characters) doesn't split duplicate families.
+
+    Three deterministic steps: NFC unicode normalization, control-
+    character strip (C0 minus tab/newline, plus DEL), and ASCII
+    whitespace-run collapse with outer trim. NFC has no Catalyst
+    expression, so this is ONE Arrow-batched mapInPandas stage (the
+    vectorized slow-path rule: never row-at-a-time Python); the regex
+    steps ride along in the same pass instead of becoming extra JVM
+    projections so the string crosses Arrow exactly once. The
+    whitespace class is explicit ([ \\t\\r\\n\\f\\v]) because Python
+    re '\\s' is unicode-wide while Java/RE2 '\\s' is ASCII — an
+    engine-parity trap this repo's oracles would catch.
+
+    Returns the input plus (out_col, <out_col>_changed)."""
+    import re as _re
+    import unicodedata
+
+    ctrl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    wsrun = _re.compile("[ \t\r\n\f\v]+")
+    cols = df.columns
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            src = pdf[text_col].astype("string").fillna("")
+            norm = [
+                wsrun.sub(" ", ctrl.sub("", unicodedata.normalize(
+                    "NFC", s))).strip()
+                for s in src
+            ]
+            out = pdf.copy()
+            out[out_col] = norm
+            out[out_col + "_changed"] = [
+                n != s for n, s in zip(norm, src)]
+            yield out
+
+    schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes
+    ) + f", {out_col} string, {out_col}_changed boolean"
+    result = df.mapInPandas(gen, schema=schema)
+    return result.select(*cols, out_col, out_col + "_changed")
 
 
 def stratified_hash_sample(df: DataFrame, rates: dict[str, float],

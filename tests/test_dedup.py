@@ -25,3 +25,18 @@ def test_dup_components_long_path_converges(spark):
         [(i, i + 1) for i in range(100, 132)], ["a", "b"])
     out = {r.node: r.component for r in dup_components(pairs).collect()}
     assert set(out.values()) == {100} and len(out) == 33
+
+
+def test_dedup_against_history(spark):
+    from docling_eval_spark.operators.dedup import dedup_against
+
+    history = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, "seen before"),    # exists in history -> dropped
+         (2, "brand new"),
+         (3, "brand new"),      # within-batch dup of 2 -> dropped
+         (4, "also new")],
+        ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in dedup_against(batch, history).collect())
+    assert kept == [2, 4]

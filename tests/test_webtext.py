@@ -360,3 +360,21 @@ def test_duplicate_span_stats_hand_computed(spark):
     # overlapping windows: 3 + min(3, 1) = 4 tokens = the whole doc
     assert (out[5].n_dup_positions, out[5].dup_covered_tokens) == (2, 4)
     assert out[5].dup_frac == 1.0
+
+
+def test_normalize_text_nfc_and_whitespace(spark):
+    from docling_eval_spark.operators.webtext import normalize_text
+
+    decomposed = "café"          # e + combining acute
+    composed = "café"             # precomposed é
+    df = spark.createDataFrame(
+        [(1, decomposed + "  x"),
+         (2, " a\tb\r\nc\x07d "),      # runs, CR/LF, BEL control
+         (3, "plain text"),
+         (4, "nb sp")],           # NBSP is NOT ASCII whitespace
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].text_norm == composed + " x" and out[1].text_norm_changed
+    assert out[2].text_norm == "a b cd" and out[2].text_norm_changed
+    assert out[3].text_norm == "plain text" and not out[3].text_norm_changed
+    assert out[4].text_norm == "nb sp" and not out[4].text_norm_changed
