@@ -488,7 +488,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.select("a", "b")
         .unionByName(pairs.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
-        .distinct().persist()
+        .distinct()
+        # hash-partition ONCE by the pull-join key: the cached layout
+        # satisfies the join's required distribution every round, so
+        # only the (much smaller) label side shuffles per iteration
+        .repartition(F.col("b"))
+        .persist()
     )
     edges.count()
     labels = (
@@ -496,6 +501,11 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence probe: labels are non-increasing per node, so the sum
+    # is strictly decreasing until the fixed point — one scalar agg per
+    # round instead of a join + count, and the same agg job is what
+    # materializes the round's (lazy) localCheckpoint.
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iter):
         pulled = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -513,16 +523,13 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .select("node",
                     F.least(F.coalesce(F.col("_tc"), F.col("component")),
                             F.col("component")).alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "_old"), "node")
-            .where(F.col("component") != F.col("_old")).count()
-        )
+        cur_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 
