@@ -207,17 +207,23 @@ def cmd_consolidate(args) -> None:
 
 
 def cmd_curate(args) -> None:
-    """Web-corpus curation pass over an extracted table: Gopher quality
-    gate -> C4 line/page filters -> PII redaction -> corpus-level line
-    dedup, writing the curated table plus a JSON drop-accounting
-    summary. Cheapest-first ordering: the per-row quality gates run at
-    scan speed and shrink the corpus BEFORE the one shuffle-bearing
-    pass (line dedup) — at 100 TB the dedup only pays for survivors."""
+    """Web-corpus curation pass over an extracted table:
+    [hash-sample] -> [normalize] -> Gopher quality gate -> C4
+    line/page filters -> PII redaction -> corpus-level line dedup ->
+    [benchmark decontamination], writing the curated table plus a
+    JSON drop-accounting summary. Cheapest-first ordering: the
+    deterministic sample evaluates at the scan (everything downstream
+    scales with the rate), the per-row quality gates shrink the corpus
+    BEFORE the shuffle-bearing passes, and the decontamination probe
+    runs last over survivors only — at 100 TB each stage pays only for
+    what the previous stages kept."""
     from pyspark.sql import functions as F
 
     from .operators.webtext import (
         c4_page_filter,
         corpus_line_dedup,
+        hash_sample,
+        normalize_text,
         redact_pii,
         with_gopher_quality,
     )
@@ -225,9 +231,19 @@ def cmd_curate(args) -> None:
     spark = _spark(args.cpus)
     docs = spark.read.parquet(args.input)
     key, text = args.key, args.text_col
+    if args.sample is not None:
+        docs = hash_sample(docs, key=key, rate=args.sample,
+                           salt=args.sample_salt)
     n_input = docs.count()
 
     kept = docs
+    if args.normalize:
+        # replace the text column; keep the changed flag through the
+        # gates so the PII aggregation pass can count it for free
+        kept = (normalize_text(kept, text_col=text, keep_newlines=True)
+                .drop(text)
+                .withColumnRenamed("text_norm", text)
+                .withColumnRenamed("text_norm_changed", "_norm_changed"))
     if not args.skip_gopher:
         flagged = with_gopher_quality(kept, text_col=text,
                                       min_words=args.min_words)
@@ -247,14 +263,31 @@ def cmd_curate(args) -> None:
     n_after_filters = red.count()  # materialize before the dedup fan-out
 
     deduped = corpus_line_dedup(red, key=key, text_col=text, sep=args.sep)
-    payload = red.drop(text)
+    payload = red.drop(text, "_norm_changed") if args.normalize \
+        else red.drop(text)
     out = (payload.join(deduped, key)
            .where(F.col("n_kept") > 0))
+
+    n_contaminated = 0
+    if args.decontaminate:
+        from .operators.webtext import ngram_contamination
+
+        bench = spark.read.parquet(args.decontaminate)
+        flags = ngram_contamination(
+            out, bench, n=args.decontam_n, key=key, text_col=text,
+            bench_text_col=args.decontam_text_col)
+        bad = flags.where("contaminated").select(key)
+        n_contaminated = bad.count()
+        out = out.join(bad, key, "left_anti")
     out.write.mode("overwrite").parquet(args.output)
 
     curated = spark.read.parquet(args.output)
-    pii = red.agg(F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"),
-                  F.sum("n_phones").alias("p")).collect()[0]
+    aggs = [F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"),
+            F.sum("n_phones").alias("p")]
+    if args.normalize:
+        aggs.append(
+            F.sum(F.col("_norm_changed").cast("int")).alias("nc"))
+    pii = red.agg(*aggs).collect()[0]
     lines = curated.agg(F.sum("n_lines").alias("t"),
                         F.sum("n_kept").alias("k")).collect()[0]
     summary = {
@@ -267,6 +300,12 @@ def cmd_curate(args) -> None:
         "lines_seen": int(lines["t"] or 0),
         "lines_kept": int(lines["k"] or 0),
     }
+    if args.sample is not None:
+        summary["sample_rate"] = args.sample
+    if args.normalize:
+        summary["normalized_changed"] = int(pii["nc"] or 0)
+    if args.decontaminate:
+        summary["n_contaminated_dropped"] = n_contaminated
     red.unpersist()
     spark.catalog.clearCache()
     if args.summary:
@@ -336,6 +375,14 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--min-kept-lines", type=int, default=1)
     cu.add_argument("--skip-gopher", action="store_true")
     cu.add_argument("--skip-c4", action="store_true")
+    cu.add_argument("--sample", type=float, default=None)
+    cu.add_argument("--sample-salt", default="")
+    cu.add_argument("--normalize", action="store_true")
+    cu.add_argument("--decontaminate", default=None,
+                    help="parquet path of a benchmark table to n-gram "
+                         "decontaminate against")
+    cu.add_argument("--decontam-n", type=int, default=13)
+    cu.add_argument("--decontam-text-col", default="text")
     cu.add_argument("--summary", default=None)
     cu.add_argument("--partitions", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)

@@ -394,7 +394,8 @@ def hash_sample(df: DataFrame, key: str = "doc_id", rate: float = 0.1,
 
 
 def normalize_text(df: DataFrame, text_col: str = "text",
-                   out_col: str = "text_norm") -> DataFrame:
+                   out_col: str = "text_norm",
+                   keep_newlines: bool = False) -> DataFrame:
     """Unicode-and-whitespace canonicalization ahead of hashing —
     CCNet normalizes text before dedup keys are computed so that
     byte-level encoding noise (decomposed accents, NBSP runs, control
@@ -411,20 +412,34 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     re '\\s' is unicode-wide while Java/RE2 '\\s' is ASCII — an
     engine-parity trap this repo's oracles would catch.
 
+    With `keep_newlines` (line-structured corpora headed for the line
+    dedup), a whitespace run CONTAINING a newline collapses to one
+    '\\n' and only horizontal runs collapse to a space, so the line
+    structure survives normalization.
+
     Returns the input plus (out_col, <out_col>_changed)."""
     import re as _re
     import unicodedata
 
     ctrl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
-    wsrun = _re.compile("[ \t\r\n\f\v]+")
+    if keep_newlines:
+        nlrun = _re.compile("[ \t\r\f\v]*\n[ \t\r\n\f\v]*")
+        hrun = _re.compile("[ \t\r\f\v]+")
+
+        def _ws(s: str) -> str:
+            return hrun.sub(" ", nlrun.sub("\n", s)).strip()
+    else:
+        wsrun = _re.compile("[ \t\r\n\f\v]+")
+
+        def _ws(s: str) -> str:
+            return wsrun.sub(" ", s).strip()
     cols = df.columns
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             src = pdf[text_col].astype("string").fillna("")
             norm = [
-                wsrun.sub(" ", ctrl.sub("", unicodedata.normalize(
-                    "NFC", s))).strip()
+                _ws(ctrl.sub("", unicodedata.normalize("NFC", s)))
                 for s in src
             ]
             out = pdf.copy()

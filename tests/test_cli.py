@@ -92,3 +92,53 @@ def test_cli_curate(spark, tmp_path):
     assert s["n_output"] == 3
     assert s["pii_redacted"]["emails"] == 1
     assert s["lines_seen"] == 7 and s["lines_kept"] == 6
+
+
+def test_cli_curate_full_chain(spark, tmp_path):
+    """normalize + decontaminate + sample stages of the curate chain."""
+    from docling_eval_spark import cli
+
+    l1 = "the quick brown fox jumps over the fence."
+    l2 = "a lazy dog sleeps near the old barn today."
+    l3 = "it is a warm day for the whole town."
+    l4 = "another page shares some words of text here."
+    l5 = "but it keeps a second unique line here."
+    rows = [
+        (1, "\n".join([l1, l2, l3])),
+        # doc 2 is doc-1-line-1 with NOISE (double spaces) + own lines:
+        # normalization must recover l1 so the line dedup catches it
+        (2, "\n".join([l1.replace(" ", "  "), l4, l5])),
+    ]
+    inp = str(tmp_path / "docs")
+    benchp = str(tmp_path / "bench")
+    out = str(tmp_path / "curated")
+    summ = str(tmp_path / "summary.json")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    # benchmark shares a 5-gram with doc 1's line 2
+    spark.createDataFrame(
+        [(900, "a lazy dog sleeps near a river")],
+        ["doc_id", "text"]).write.parquet(benchp)
+
+    cli.main(["curate", "--input", inp, "--output", out,
+              "--min-words", "10", "--normalize",
+              "--decontaminate", benchp, "--decontam-n", "5",
+              "--summary", summ])
+
+    cur = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # doc 1 is dropped by decontamination (shares "a lazy dog sleeps
+    # near" with the benchmark); doc 2 survives with l1 dedup'd away
+    assert set(cur) == {2}
+    assert cur[2].text == "\n".join([l4, l5])
+    s = json.loads(open(summ).read())
+    assert s["normalized_changed"] == 1
+    assert s["n_contaminated_dropped"] == 1
+    assert "sample_rate" not in s
+
+    # sampling stage: rate 0 keeps nothing, summary records the rate
+    out0 = str(tmp_path / "curated0")
+    summ0 = str(tmp_path / "summary0.json")
+    cli.main(["curate", "--input", inp, "--output", out0,
+              "--sample", "0.0", "--summary", summ0])
+    s0 = json.loads(open(summ0).read())
+    assert s0["n_input"] == 0 and s0["n_output"] == 0
+    assert s0["sample_rate"] == 0.0

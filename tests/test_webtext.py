@@ -378,3 +378,14 @@ def test_normalize_text_nfc_and_whitespace(spark):
     assert out[2].text_norm == "a b cd" and out[2].text_norm_changed
     assert out[3].text_norm == "plain text" and not out[3].text_norm_changed
     assert out[4].text_norm == "nb sp" and not out[4].text_norm_changed
+
+
+def test_normalize_text_keep_newlines(spark):
+    from docling_eval_spark.operators.webtext import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "line  one \n\n  line\ttwo\r\nline three ")],
+        ["doc_id", "text"])
+    out = normalize_text(df, keep_newlines=True).collect()[0]
+    assert out.text_norm == "line one\nline two\nline three"
+    assert out.text_norm_changed
