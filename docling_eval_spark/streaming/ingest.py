@@ -72,6 +72,48 @@ def start_ingest(spark: SparkSession, input_path: str, output_path: str,
     return writer.start()
 
 
+def start_dedup_ingest(spark: SparkSession, input_path: str,
+                       output_path: str, checkpoint_path: str,
+                       key: str = "doc_id", text_col: str = "text",
+                       available_now: bool = True) -> StreamingQuery:
+    """Steady-state web ingestion: every micro-batch exact-dedups
+    against EVERYTHING already committed to the output (plus itself)
+    before appending — the streaming form of operators/dedup.py's
+    dedup_against, so a recrawl arriving hours later still collapses
+    onto the copy already kept.
+
+    foreachBatch is the right sink because the dedup needs a batch
+    read of the output between triggers; its usual at-least-once
+    caveat is neutralized HERE by the dedup itself: a replayed batch
+    re-dedups against its own previously-committed rows and appends
+    nothing, so the sink is idempotent without transactional writes.
+    Only md5 hashes of the history move (see dedup_against); at scale
+    the history read is a column-pruned scan of one 32-char column.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import dedup_against
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        try:
+            history = batch_df.sparkSession.read.parquet(
+                output_path).select(text_col)
+        except AnalysisException:  # first batch: no output yet
+            history = batch_df.select(text_col).limit(0)
+        kept = dedup_against(batch_df, history, text_col=text_col,
+                             key=key)
+        kept.write.mode("append").parquet(output_path)
+
+    writer = (
+        stream_pages(spark, input_path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_throughput(pages: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
     """Event-time ingest rollup: docs and bytes per `warc_ts` window,

@@ -98,3 +98,44 @@ class TestStatefulDedup:
         found = {r["a"] for r in got.collect()}
         assert found == set(range(40)), sorted(found)[:10]
         assert all(r["est_jaccard"] == 1.0 for r in got.collect())
+
+
+class TestStreamingDedupIngest:
+    def test_micro_batches_dedup_against_committed(self, spark, tmp_path):
+        from docling_eval_spark.streaming.ingest import start_dedup_ingest
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        cols = ["url", "warc_ts", "html", "text", "lang", "doc_id"]
+
+        def page(doc_id, text):
+            import datetime
+            return (f"https://x/{doc_id}",
+                    datetime.datetime(2026, 1, 1, 0, 0, doc_id % 60),
+                    text.encode(), text, "en", doc_id)
+
+        # wave 1: doc 2 duplicates doc 1 within the batch
+        spark.createDataFrame(
+            [page(1, "alpha"), page(2, "alpha"), page(3, "beta")],
+            cols).coalesce(1).write.mode("append").parquet(landing)
+        q = start_dedup_ingest(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 3}  # min-key kept within the batch
+
+        # wave 2: doc 10 re-crawls "alpha" (already committed),
+        # doc 11 is genuinely new
+        spark.createDataFrame(
+            [page(10, "alpha"), page(11, "gamma")],
+            cols).coalesce(1).write.mode("append").parquet(landing)
+        q = start_dedup_ingest(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {1, 3, 11}
+        assert sorted(r.text for r in rows) == ["alpha", "beta", "gamma"]
+
+        # restart with the same checkpoint: nothing new -> no appends
+        q = start_dedup_ingest(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 3
