@@ -2008,6 +2008,16 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic document shuffle at seed 7: the
+    distributed hash-bucket rank must equal the oracle's single global
+    row_number window byte-for-byte."""
+    from docling_eval_spark.operators.webtext import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_shuffle(docs, seed=7).orderBy("doc_id")
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style canonicalization gate: doc_id%3==0 docs get
     deterministic noise (leading space, doubled spaces, trailing
@@ -2203,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "normalize_text": _q_normalize_text,
         "dedup_against_history": _q_dedup_against_history,
+        "epoch_shuffle_pos": _q_epoch_shuffle,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2736,6 +2747,11 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "epoch_shuffle_pos": (
+            "SELECT doc_id, cast(row_number() OVER "
+            "(ORDER BY md5(doc_id || ':7'), doc_id) - 1 AS bigint) "
+            "AS shuffle_pos FROM documents ORDER BY doc_id"
         ),
         "normalize_text": (
             "WITH noisy AS (SELECT doc_id, text, "

@@ -738,6 +738,51 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
                       "seq_first", "seq_last", "n_seqs")
 
 
+def epoch_shuffle(df: DataFrame, key: str = "doc_id", seed: int = 0,
+                  n_buckets: int = 256) -> DataFrame:
+    """Deterministic global training order: every row gets a dense
+    0-based `shuffle_pos` equal to its rank under md5(key:seed) — the
+    per-epoch document shuffle of a pretraining run, reproducible
+    across engines, partitionings, and restarts (change `seed` per
+    epoch).
+
+    A global rank is the same scale trap as pack_sequences' running
+    sum: `row_number() OVER (ORDER BY hash)` is a single-reducer
+    global sort. Here the distributed prefix sum runs on the HASH
+    domain instead of a numeric key: the first two hex chars of the
+    digest give 256 arithmetic range buckets that are monotone in the
+    full hash string, per-bucket counts come to the driver, exclusive
+    offsets go back as a broadcast join, and a per-bucket
+    row_number completes the rank. Ties on the digest (2^-128) break
+    by key, so the order is total and byte-identical to the oracle's
+    single global window."""
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+    keyed = df.withColumn("_h", h).withColumn(
+        "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
+    if n_buckets != 256:
+        # coarser grouping of the 256 hex-prefix cells (still monotone)
+        keyed = keyed.withColumn(
+            "_b", (F.col("_b") / F.lit(256.0 / n_buckets)).cast("int"))
+    per_bucket = sorted(
+        keyed.groupBy("_b").agg(F.count_if(F.lit(True)).alias("n"))
+        .collect())
+    offset, offsets = 0, []
+    for b, n in per_bucket:
+        offsets.append((b, offset))
+        offset += int(n)
+    off_df = df.sparkSession.createDataFrame(offsets, ["_b", "_off"])
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("_b").orderBy("_h", key)
+    return (
+        keyed.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_h", "_b", "_off")
+    )
+
+
 def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Extract the registrable host from a URL column with the built-in
     parse_url (Catalyst expression, codegen-friendly)."""

@@ -389,3 +389,25 @@ def test_normalize_text_keep_newlines(spark):
     out = normalize_text(df, keep_newlines=True).collect()[0]
     assert out.text_norm == "line one\nline two\nline three"
     assert out.text_norm_changed
+
+
+def test_epoch_shuffle_is_permutation_and_seed_dependent(spark):
+    from docling_eval_spark.operators.webtext import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r.shuffle_pos
+           for r in epoch_shuffle(df, seed=1).collect()}
+    # dense 0-based permutation
+    assert sorted(out.values()) == list(range(500))
+    # deterministic across calls
+    again = {r.doc_id: r.shuffle_pos
+             for r in epoch_shuffle(df, seed=1).collect()}
+    assert again == out
+    # a different epoch seed produces a different order
+    other = {r.doc_id: r.shuffle_pos
+             for r in epoch_shuffle(df, seed=2).collect()}
+    assert other != out
+    # coarser bucketing must not change the order
+    coarse = {r.doc_id: r.shuffle_pos
+              for r in epoch_shuffle(df, seed=1, n_buckets=16).collect()}
+    assert coarse == out
