@@ -2008,6 +2008,33 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 line rules over 4-word pseudo-lines with
+    deterministic decoration: line i of doc d gets a '- ' bullet when
+    (d+i)%3==0 and a trailing ' ...' when (d+i)%4==0, so both fractions
+    and all flag branches are exercised."""
+    from docling_eval_spark.operators.webtext import gopher_line_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    ws = F.split(F.trim("text"), r"\s+")
+    nc = F.ceil(F.size(ws) / F.lit(4.0)).cast("int")
+    d = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.concat(
+            F.when((d + i) % 3 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(ws, i * 4 + 1, 4)),
+            F.when((d + i) % 4 == 0, F.lit(" ...")).otherwise(F.lit(""))))
+    lined = docs.select(
+        "doc_id", F.concat_ws("\n", lines).alias("text_lines"))
+    out = gopher_line_flags(lined, text_col="text_lines")
+    return out.select(
+        "doc_id", "n_lines", "bullet_line_frac", "ellipsis_line_frac",
+        "flag_bullet", "flag_ellipsis", "gopher_line_pass"
+    ).orderBy("doc_id")
+
+
 def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-epoch deterministic document shuffle at seed 7: the
     distributed hash-bucket rank must equal the oracle's single global
@@ -2214,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "dedup_against_history": _q_dedup_against_history,
         "epoch_shuffle_pos": _q_epoch_shuffle,
+        "gopher_line_flags": _q_gopher_line_flags,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2747,6 +2775,30 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "gopher_line_flags": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, "
+            "cast(ceil(len(ws) / 4.0) AS int) AS nc FROM w), "
+            "l AS (SELECT doc_id, "
+            "(CASE WHEN (doc_id + i) % 3 = 0 THEN '- ' ELSE '' END) || "
+            "array_to_string(ws[cast(i*4+1 AS int):cast(i*4+4 AS int)], ' ') "
+            "|| (CASE WHEN (doc_id + i) % 4 = 0 THEN ' ...' ELSE '' END) "
+            "AS line FROM c, unnest(range(0, nc)) AS u(i)), "
+            "a AS (SELECT doc_id, cast(count(*) AS int) AS n_lines, "
+            "round(sum(CASE WHEN regexp_matches(ltrim(line), "
+            "'^[-*•‣▪]') THEN 1 ELSE 0 END) "
+            "/ cast(count(*) AS double), 6) AS bullet_line_frac, "
+            "round(sum(CASE WHEN regexp_matches(rtrim(line), "
+            "'(\\.\\.\\.|…)$') THEN 1 ELSE 0 END) "
+            "/ cast(count(*) AS double), 6) AS ellipsis_line_frac "
+            "FROM l GROUP BY doc_id) "
+            "SELECT doc_id, n_lines, bullet_line_frac, ellipsis_line_frac, "
+            "bullet_line_frac <= 0.9 AS flag_bullet, "
+            "ellipsis_line_frac <= 0.3 AS flag_ellipsis, "
+            "bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
+            "AS gopher_line_pass FROM a ORDER BY doc_id"
         ),
         "epoch_shuffle_pos": (
             "SELECT doc_id, cast(row_number() OVER "

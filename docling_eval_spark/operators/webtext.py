@@ -237,6 +237,42 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
         & F.col("flag_symbol") & F.col("flag_alpha") & F.col("flag_stop"))
 
 
+def gopher_line_flags(df: DataFrame, text_col: str = "text",
+                      sep: str = "\n",
+                      max_bullet_frac: float = 0.9,
+                      max_ellipsis_frac: float = 0.3) -> DataFrame:
+    """The two LINE-level Gopher rules (Rae et al. 2021, A1.1) that
+    with_gopher_quality's word-level pass does not cover: drop a page
+    when more than 90% of its lines start with a bullet point or more
+    than 30% end with an ellipsis (listicle / truncated-preview
+    pages). Pure higher-order-function columns over the split lines —
+    scan-speed, codegen-friendly, no shuffle.
+
+    Adds (n_lines, bullet_line_frac, ellipsis_line_frac, flag_bullet,
+    flag_ellipsis, gopher_line_pass)."""
+    lines = F.split(F.col(text_col), sep)
+    n = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike("^[-*•‣▪]")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    out = df.select(
+        *df.columns,
+        n.alias("n_lines"),
+        F.round(n_bullet / n.cast("double"), 6).alias("bullet_line_frac"),
+        F.round(n_ellipsis / n.cast("double"), 6)
+        .alias("ellipsis_line_frac"),
+    )
+    return (
+        out.withColumn("flag_bullet",
+                       F.col("bullet_line_frac") <= max_bullet_frac)
+        .withColumn("flag_ellipsis",
+                    F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        .withColumn("gopher_line_pass",
+                    F.col("flag_bullet") & F.col("flag_ellipsis"))
+    )
+
+
 def repetition_stats(df: DataFrame, key: str = "doc_id",
                      text_col: str = "text", sep: str = "\n") -> DataFrame:
     """Gopher repetition rules (A1.1): within-document duplication.

@@ -411,3 +411,24 @@ def test_epoch_shuffle_is_permutation_and_seed_dependent(spark):
     coarse = {r.doc_id: r.shuffle_pos
               for r in epoch_shuffle(df, seed=1, n_buckets=16).collect()}
     assert coarse == out
+
+
+def test_gopher_line_flags_hand_computed(spark):
+    from docling_eval_spark.operators.webtext import gopher_line_flags
+
+    listicle = "\n".join(["- item one", "* item two", "• item three",
+                          "plain line"])           # 3/4 bullets
+    preview = "\n".join(["teaser one ...", "teaser two…", "full line"])
+    clean = "just\nnormal\nlines"
+    df = spark.createDataFrame(
+        [(1, listicle), (2, preview), (3, clean)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_line_flags(df).collect()}
+    assert out[1].bullet_line_frac == pytest.approx(0.75)
+    assert out[1].flag_bullet and out[1].gopher_line_pass
+    assert out[2].ellipsis_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert not out[2].flag_ellipsis and not out[2].gopher_line_pass
+    assert out[3].bullet_line_frac == 0.0
+    assert out[3].ellipsis_line_frac == 0.0 and out[3].gopher_line_pass
+
+    strict = gopher_line_flags(df, max_bullet_frac=0.5).collect()
+    assert not {r.doc_id: r for r in strict}[1].flag_bullet
