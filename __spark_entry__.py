@@ -2008,6 +2008,21 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation at 10k tokens over a tie-heavy synthetic score
+    (doc_id%13): the bucketed prefix-sum selection must match the
+    oracle's global score-desc window, including the boundary doc and
+    the key tie-breaks."""
+    from docling_eval_spark.operators.webtext import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    scored = docs.withColumn(
+        "score", (F.col("doc_id") % 13).cast("double"))
+    kept = select_token_budget(scored, budget=10_000, score_col="score")
+    return kept.select("doc_id", "n_tokens", "tok_before").orderBy("doc_id")
+
+
 def _q_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.1 line rules over 4-word pseudo-lines with
     deterministic decoration: line i of doc d gets a '- ' bullet when
@@ -2242,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_history": _q_dedup_against_history,
         "epoch_shuffle_pos": _q_epoch_shuffle,
         "gopher_line_flags": _q_gopher_line_flags,
+        "token_budget_select": _q_token_budget,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2775,6 +2791,19 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "token_budget_select": (
+            "WITH t AS (SELECT doc_id, "
+            "cast(doc_id % 13 AS double) AS score, "
+            "cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "cast(sum(n_tokens) OVER (ORDER BY score DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) "
+            "AS cum FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "cast(cum - n_tokens AS bigint) AS tok_before "
+            "FROM c WHERE cum - n_tokens < 10000 ORDER BY doc_id"
         ),
         "gopher_line_flags": (
             "WITH w AS (SELECT doc_id, "

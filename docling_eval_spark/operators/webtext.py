@@ -32,7 +32,13 @@ over it (CCNet, Gopher/MassiveText, C4, RefinedWeb — all published):
 - context-window sequence packing via a distributed prefix sum
   (per-bucket windows + broadcast offsets — no global sort),
 - exact duplicate-span measurement (Lee et al. 2022 suffix-array
-  dedup re-expressed as an n-gram index + interval merge).
+  dedup re-expressed as an n-gram index + interval merge),
+- pre-hash NFC/whitespace canonicalization (one Arrow stage),
+- per-stratum mixing-weight sampling and per-epoch hash-rank
+  shuffling (both scan-speed, no global sort),
+- Gopher A1.1 line rules (bullet / ellipsis fractions),
+- token-budget selection (keep best-scored docs until a corpus
+  token budget is exhausted — prefix sum over score buckets).
 
 Everything is built from JVM-side pyspark.sql.functions (no Python in
 the hot path anywhere in this module); the corpus-wide passes are
@@ -772,6 +778,63 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
     )
     return out.select(key, "n_tokens", "tok_start",
                       "seq_first", "seq_last", "n_seqs")
+
+
+def select_token_budget(df: DataFrame, budget: int,
+                        score_col: str, key: str = "doc_id",
+                        text_col: str = "text",
+                        n_buckets: int = 256) -> DataFrame:
+    """Budgeted curation: walk the corpus in descending `score_col`
+    order and keep documents until the cumulative token count exceeds
+    `budget` — how a pipeline cuts a 100 TB crawl down to a fixed
+    pretraining token budget while keeping the highest-quality pages
+    (SlimPajama / quality-bucketed CCNet both end with this step).
+
+    A document is kept iff the running total BEFORE it is under the
+    budget (so the boundary document that crosses the line is kept and
+    the budget is met, never undershot). The running total over a
+    global ordering is the pack_sequences scale problem again, solved
+    the same way: deterministic arithmetic range buckets over the
+    score domain (min/max probe, no sampling), per-bucket token sums
+    to the driver, exclusive offsets broadcast back, per-bucket window
+    for the local cumsum. Ties on the score break by ascending key, so
+    the order is total and oracle-reproducible.
+
+    Returns the kept rows plus (n_tokens, tok_before) where
+    tok_before is the running total of all higher-scored documents."""
+    toks = df.withColumn(
+        "n_tokens", F.size(_words(F.col(text_col))).cast("long"))
+    toks = toks.persist()
+    toks.count()
+    lo, hi = toks.agg(F.min(score_col), F.max(score_col)).first()
+    if lo is None:
+        return toks.withColumn("tok_before", F.lit(0).cast("long"))
+    span = float(hi) - float(lo)
+    width = span / n_buckets if span > 0 else 1.0
+    # bucket 0 = best scores; monotone DESCENDING in the score
+    bucket = F.least(
+        F.floor((F.lit(float(hi)) - F.col(score_col)) / F.lit(width)),
+        F.lit(n_buckets - 1)).cast("int")
+    toks = toks.withColumn("_b", bucket)
+    per_bucket = sorted(
+        toks.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect())
+    offset, offsets = 0, []
+    for b, t in per_bucket:
+        offsets.append((b, offset))
+        offset += int(t)
+    off_df = df.sparkSession.createDataFrame(offsets, ["_b", "_off"])
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("_b").orderBy(
+        F.col(score_col).desc(), F.col(key).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (F.col("_off") + F.sum("n_tokens").over(w)).cast("long")
+    return (
+        toks.join(F.broadcast(off_df), "_b")
+        .withColumn("tok_before", cum - F.col("n_tokens"))
+        .where(F.col("tok_before") < F.lit(int(budget)))
+        .drop("_b", "_off")
+    )
 
 
 def epoch_shuffle(df: DataFrame, key: str = "doc_id", seed: int = 0,

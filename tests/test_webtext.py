@@ -432,3 +432,25 @@ def test_gopher_line_flags_hand_computed(spark):
 
     strict = gopher_line_flags(df, max_bullet_frac=0.5).collect()
     assert not {r.doc_id: r for r in strict}[1].flag_bullet
+
+
+def test_select_token_budget_hand_computed(spark):
+    from docling_eval_spark.operators.webtext import select_token_budget
+
+    # scores: doc 3 best, then 1, then tie (2, 4) broken by key
+    rows = [(1, 5.0, "w w w w"),     # 4 tokens, cum 7
+            (2, 1.0, "w w w"),       # 3 tokens, cum 10 (tie, key 2 first)
+            (3, 9.0, "w w w"),       # 3 tokens, cum 3
+            (4, 1.0, "w w")]         # 2 tokens, cum 12
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"])
+    out = {r.doc_id: r for r in
+           select_token_budget(df, budget=8, score_col="score").collect()}
+    # budget 8: doc 3 (before 0), doc 1 (before 3), doc 2 (before 7 <
+    # 8 -> boundary doc kept), doc 4 (before 10 -> dropped)
+    assert set(out) == {1, 2, 3}
+    assert out[3].tok_before == 0
+    assert out[1].tok_before == 3
+    assert out[2].tok_before == 7
+    # tight budget keeps only the best doc
+    top = select_token_budget(df, budget=1, score_col="score").collect()
+    assert [r.doc_id for r in top] == [3]
