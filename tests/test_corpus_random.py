@@ -139,3 +139,41 @@ def test_ngram_contamination_matches_python(spark, seed):
         n_grams = max(len(ws) - n + 1, 0)
         matched = len(grams(t) & bset)
         assert got[k] == (n_grams, matched, matched >= 1)
+
+
+@pytest.mark.parametrize("seed,budget,buckets", [
+    (41, 50, 4), (42, 200, 16), (43, 1, 3), (44, 10_000, 7)])
+def test_select_token_budget_matches_python(spark, seed, budget, buckets):
+    from docling_eval_spark.operators.webtext import select_token_budget
+
+    rng = random.Random(seed)
+    rows = [(k, float(rng.randrange(5)), t)  # few score levels -> ties
+            for (k, t) in _rand_corpus(seed, 60, 20, 25)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"])
+    got = {r.doc_id: r.tok_before for r in select_token_budget(
+        df, budget=budget, score_col="score",
+        n_buckets=buckets).collect()}
+    cum, want = 0, {}
+    for k, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum < budget:
+            want[k] = cum
+        cum += len(t.split())
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_epoch_shuffle_matches_python_md5_rank(spark, seed):
+    import hashlib
+
+    from docling_eval_spark.operators.webtext import epoch_shuffle
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(0, 5000), 200)
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r.doc_id: r.shuffle_pos
+           for r in epoch_shuffle(df, seed=seed, n_buckets=32).collect()}
+    order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"{i}:{seed}".encode())
+                            .hexdigest(), i))
+    want = {k: pos for pos, k in enumerate(order)}
+    assert got == want
