@@ -2008,6 +2008,36 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity tier composed with the components tier: x2 and x0.5
+    scaled copies make 3-vector parallel families; hyperplane-LSH
+    candidate pairs at cosine>=0.9999 feed connected components, which
+    must match the oracle's O(n^2) closure (parallel vectors always
+    share LSH buckets, so the candidate set is lossless here)."""
+    from docling_eval_spark.operators.dedup import dup_components
+    from docling_eval_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+
+    def scaled(factor: float, offset: int) -> DataFrame:
+        return emb.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * F.lit(factor)).alias("embedding"))
+
+    aug = emb.unionByName(scaled(2.0, 1_000_000_000)) \
+        .unionByName(scaled(0.5, 2_000_000_000))
+    pairs = lsh_near_dup_pairs(aug, threshold=0.9999)
+    comps = dup_components(pairs.select("a", "b"))
+    return (
+        aug.select("vec_id")
+        .join(comps, aug["vec_id"] == comps["node"], "left")
+        .select("vec_id",
+                F.coalesce("component", "vec_id").alias("component"))
+        .orderBy("vec_id"))
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted curation at 10k tokens over a tie-heavy synthetic score
     (doc_id%13): the bucketed prefix-sum selection must match the
@@ -2258,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_pos": _q_epoch_shuffle,
         "gopher_line_flags": _q_gopher_line_flags,
         "token_budget_select": _q_token_budget,
+        "embedding_dup_components": _q_embedding_dup_components,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2791,6 +2822,27 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "embedding_dup_components": (
+            "WITH RECURSIVE corpus AS (SELECT vec_id, embedding "
+            "FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000000, "
+            "list_transform(embedding, x -> x * 2.0) FROM embeddings "
+            "UNION ALL SELECT vec_id + 2000000000, "
+            "list_transform(embedding, x -> x * 0.5) FROM embeddings), "
+            "e0 AS (SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
+            "AND round(list_cosine_similarity(a.embedding, b.embedding), 4) "
+            ">= 0.9999), "
+            "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), "
+            "reach(node, comp) AS (SELECT a, a FROM e "
+            "UNION SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.node), "
+            "mc AS (SELECT node, min(comp) AS comp FROM reach "
+            "GROUP BY node) "
+            "SELECT c.vec_id, "
+            "cast(coalesce(mc.comp, c.vec_id) AS bigint) AS component "
+            "FROM corpus c LEFT JOIN mc ON c.vec_id = mc.node "
+            "ORDER BY c.vec_id"
         ),
         "token_budget_select": (
             "WITH t AS (SELECT doc_id, "
