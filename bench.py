@@ -192,6 +192,7 @@ def main() -> None:
     canary_before = _canary()
     timings: dict[str, float] = {}
     merged: dict[str, object] = {}
+    group_canaries: dict[str, float] = {}
     for group in ["flagship", *GROUPS]:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--group", group],
@@ -205,6 +206,9 @@ def main() -> None:
         part = json.loads(line[len("BENCH_PARTIAL "):])
         timings.update(part.pop("timings"))
         merged.update(part)
+        # per-group probe: shared-host contention can arrive mid-suite,
+        # which the before/after bracket under-samples (BENCH.md)
+        group_canaries[group] = round(_canary(), 3)
     canary_after = _canary()
 
     total = round(sum(timings.values()), 3)
@@ -221,7 +225,8 @@ def main() -> None:
         "byte_identical_rate": merged["byte_identical_rate"],
         "cpus": cpus,
         "fresh_jvm_groups": len(GROUPS) + 1,
-        "host_canary_sec": {"before": canary_before, "after": canary_after},
+        "host_canary_sec": {"before": canary_before, "after": canary_after,
+                            "per_group": group_canaries},
     }
     print(json.dumps(out))
 
