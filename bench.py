@@ -57,13 +57,32 @@ GROUPS: dict[str, list[str]] = {
 }
 
 
+def _burn(_i: int) -> int:
+    acc = 0
+    for i in range(4_000_000):
+        acc += i * i
+    return acc
+
+
 def _canary() -> float:
     """Single-core pure-CPU probe (~0.3 s unloaded). Rises with host
     contention; lets readers normalize cross-round absolute times."""
     t0 = time.perf_counter()
-    acc = 0
-    for i in range(4_000_000):
-        acc += i * i
+    _burn(0)
+    return round(time.perf_counter() - t0, 3)
+
+
+def _canary_mc(procs: int = 8) -> float:
+    """Multi-core probe: `procs` processes burning concurrently
+    (~the 1-core time unloaded; rises when OTHER tenants hold cores).
+    A 1-core probe alone is blind to exactly the contention that hurts
+    a 32-thread Spark suite — observed: clean 1-core canaries beside a
+    25% multi-core throughput collapse."""
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    with Pool(procs) as p:
+        p.map(_burn, range(procs))
     return round(time.perf_counter() - t0, 3)
 
 
@@ -190,6 +209,7 @@ def main() -> None:
         return
 
     canary_before = _canary()
+    canary_mc_before = _canary_mc()
     timings: dict[str, float] = {}
     merged: dict[str, object] = {}
     group_canaries: dict[str, float] = {}
@@ -227,6 +247,8 @@ def main() -> None:
         "fresh_jvm_groups": len(GROUPS) + 1,
         "host_canary_sec": {"before": canary_before, "after": canary_after,
                             "per_group": group_canaries},
+        "host_canary_mc_sec": {"before": canary_mc_before,
+                               "after": _canary_mc()},
     }
     print(json.dumps(out))
 
