@@ -581,7 +581,8 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
 
 def duplicate_span_stats(df: DataFrame, n: int = 50,
                          key: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         max_gram_count: int | None = None) -> DataFrame:
     """Exact duplicate-span detection: for every document, how many of
     its token positions sit inside a length-n token window that occurs
     MORE THAN ONCE anywhere in the corpus.
@@ -598,6 +599,14 @@ def duplicate_span_stats(df: DataFrame, n: int = 50,
     collect: windows all have length n, so sorted by position the
     coverage is n for the first window plus min(n, gap) for each
     successor — a lag window partitioned by document.
+
+    `max_gram_count` is the hot-key guard for web scale: a boilerplate
+    gram repeated 10^8 times ("all rights reserved ...") would send
+    every occurrence to ONE reducer in the dup join-back. Grams with
+    count > max_gram_count are EXCLUDED from dup reporting (the same
+    degenerate-bucket policy as the LSH _drop_hot_buckets guard —
+    Lee et al. likewise cap pathological repeats); None (default)
+    keeps exact semantics and leans on AQE skew-join splitting.
 
     Returns (key, n_tokens, n_grams, n_dup_positions,
     dup_covered_tokens, dup_frac)."""
@@ -623,8 +632,11 @@ def duplicate_span_stats(df: DataFrame, n: int = 50,
     dup = (
         grams.where(F.col("g").isNotNull())
         .groupBy("g").agg(F.count_if(F.lit(True)).alias("_c"))
-        .where(F.col("_c") >= 2).select("g")
+        .where(F.col("_c") >= 2)
     )
+    if max_gram_count is not None:
+        dup = dup.where(F.col("_c") <= max_gram_count)
+    dup = dup.select("g")
     hits = grams.join(dup, "g", "left_semi")
     from pyspark.sql import Window
     w = Window.partitionBy(key).orderBy("pos")

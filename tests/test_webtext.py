@@ -454,3 +454,22 @@ def test_select_token_budget_hand_computed(spark):
     # tight budget keeps only the best doc
     top = select_token_budget(df, budget=1, score_col="score").collect()
     assert [r.doc_id for r in top] == [3]
+
+
+def test_duplicate_span_stats_hot_gram_cap(spark):
+    from docling_eval_spark.operators.webtext import duplicate_span_stats
+
+    # "h h h" is corpus-hot (4 occurrences); "a b c" repeats only twice
+    df = spark.createDataFrame(
+        [(1, "h h h x a b c"), (2, "h h h y a b c"),
+         (3, "h h h z"), (4, "h h h w")],
+        ["doc_id", "text"])
+    uncapped = {r.doc_id: r.n_dup_positions
+                for r in duplicate_span_stats(df, n=3).collect()}
+    assert uncapped[1] > 1 and uncapped[3] == 1
+    capped = {r.doc_id: r for r in duplicate_span_stats(
+        df, n=3, max_gram_count=3).collect()}
+    # the hot gram is excluded everywhere; "a b c" (count 2) survives
+    assert capped[3].n_dup_positions == 0
+    assert capped[1].n_dup_positions == 1
+    assert capped[1].dup_covered_tokens == 3
