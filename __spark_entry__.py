@@ -2008,6 +2008,32 @@ def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: even doc_ids play history; the batch is
+    the odd docs plus derived recrawls of history docs — ' xdup' near
+    copies (doc_id%10==0, +3e9) and exact copies (doc_id%14==0, +4e9).
+    Exact stage must drop the exact recrawls, the LSH-vs-history stage
+    the near ones; oracle is the full exact-Jaccard closure."""
+    from docling_eval_spark.operators.dedup import near_dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            hist.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 3_000_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" xdup")).alias("text")))
+        .unionByName(
+            hist.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 4_000_000_000).alias("doc_id"),
+                F.col("text"))))
+    kept = near_dedup_against(batch, hist)
+    return kept.select(
+        "doc_id", F.md5("text").alias("text_md5")).orderBy("doc_id")
+
+
 def _q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity tier composed with the components tier: x2 and x0.5
     scaled copies make 3-vector parallel families; hyperplane-LSH
@@ -2289,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_line_flags": _q_gopher_line_flags,
         "token_budget_select": _q_token_budget,
         "embedding_dup_components": _q_embedding_dup_components,
+        "near_dedup_against_history": _q_near_dedup_against,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "url_filter_pages": _q_url_filter_pages,
         "pack_sequences_docs": _q_pack_sequences_docs,
@@ -2822,6 +2849,46 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(mc.comp, d.doc_id) AS bigint) AS component "
             "FROM documents d LEFT JOIN mc ON d.doc_id = mc.node "
             "ORDER BY d.doc_id"
+        ),
+        "near_dedup_against_history": (
+            "WITH hist AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "batch AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 2 = 1 "
+            "UNION ALL SELECT doc_id + 3000000000, text || ' xdup' "
+            "FROM hist WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT doc_id + 4000000000, text "
+            "FROM hist WHERE doc_id % 7 = 0), "
+            "b1 AS (SELECT * FROM batch WHERE md5(text) NOT IN "
+            "(SELECT md5(text) FROM hist)), "
+            "b2 AS (SELECT min(doc_id) AS doc_id FROM b1 "
+            "GROUP BY md5(text)), "
+            "b3 AS (SELECT b1.doc_id, b1.text FROM b1 "
+            "JOIN b2 ON b1.doc_id = b2.doc_id), "
+            "gr AS (SELECT doc_id, CASE WHEN "
+            "len(string_split_regex(trim(text), '\\s+')) < 3 THEN [text] "
+            "ELSE list_distinct(list_transform("
+            "range(1, len(string_split_regex(trim(text), '\\s+')) - 1), "
+            "i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || "
+            "string_split_regex(trim(text), '\\s+')[i+1] || ' ' || "
+            "string_split_regex(trim(text), '\\s+')[i+2])) END AS grams, "
+            "text FROM (SELECT doc_id, text FROM b3 "
+            "UNION ALL SELECT doc_id, text FROM hist)), "
+            "bg AS (SELECT gr.* FROM gr JOIN b3 USING (doc_id)), "
+            "hg AS (SELECT gr.* FROM gr JOIN hist USING (doc_id)), "
+            "mh AS (SELECT DISTINCT bg.doc_id FROM bg, hg "
+            "WHERE len(list_intersect(bg.grams, hg.grams)) * 1.0 "
+            "/ len(list_distinct(list_concat(bg.grams, hg.grams))) "
+            ">= 0.8), "
+            "b4 AS (SELECT * FROM b3 WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM mh)), "
+            "b4g AS (SELECT bg.* FROM bg JOIN b4 USING (doc_id)), "
+            "wd AS (SELECT DISTINCT b.doc_id FROM b4g a, b4g b "
+            "WHERE a.doc_id < b.doc_id "
+            "AND len(list_intersect(a.grams, b.grams)) * 1.0 "
+            "/ len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8) "
+            "SELECT doc_id, md5(text) AS text_md5 FROM b4 "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM wd) ORDER BY doc_id"
         ),
         "embedding_dup_components": (
             "WITH RECURSIVE corpus AS (SELECT vec_id, embedding "

@@ -454,6 +454,67 @@ def dedup_against(df: DataFrame, history: DataFrame,
     return survivors.join(keep, ["_h", key], "left_semi").drop("_h")
 
 
+def near_dedup_against(df: DataFrame, history: DataFrame,
+                       text_col: str = "text", key: str = "doc_id",
+                       threshold: float = 0.8,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """Incremental NEAR-dedup of a new batch against an existing
+    corpus — the steady-state form of near_dedup, in three stages:
+
+      1. exact: drop batch rows whose text hash exists in history,
+         collapse within-batch exact families to min key
+         (dedup_against — hashes only cross the wire);
+      2. vs history: minhash signatures on BOTH sides, banded LSH
+         bucket join BETWEEN batch survivors and history (never a
+         history self-join — history is only probed), exact n-gram
+         Jaccard verify on candidates, drop batch docs matching any
+         history doc at >= threshold. History wins by construction:
+         the committed copy is kept, the recrawl drops;
+      3. within batch: the batch-only near_dedup pair pass
+         (keep-min greedy) over what remains.
+
+    Requires batch and history key spaces to be disjoint (true for
+    crawl-assigned global ids; the verify join unions both sides).
+    History signatures would be precomputed once and stored in a real
+    deployment — recomputing here keeps the operator self-contained.
+
+    Stage boundaries use localCheckpoint, not persist: each later
+    stage embeds the earlier frame's LOGICAL subtree several times
+    (the verify joins it twice, the within-batch pair pass three
+    more), so without lineage truncation the composed plan grows
+    multiplicatively and the driver OOMs planning the final anti-join
+    — the same failure mode dup_components hit iteratively. The
+    checkpointed frames are one crawl batch, not the corpus.
+    """
+    reps = dedup_against(df, history, text_col=text_col, key=key)
+    reps = reps.localCheckpoint()
+    bsig = minhash_signatures(reps, text_col, key)
+    hsig = minhash_signatures(history, text_col, key)
+    bb = _drop_hot_buckets(
+        banded_signatures(bsig, [key]), max_bucket_size)
+    hb = _drop_hot_buckets(
+        banded_signatures(hsig, [key]), max_bucket_size)
+    cand = (
+        bb.alias("l").join(hb.alias("r"), on=["band", "bucket"])
+        .select(F.col(f"l.{key}").alias("a"),
+                F.col(f"r.{key}").alias("b"))
+        .distinct()
+    )
+    both = reps.select(key, text_col).unionByName(
+        history.select(key, text_col))
+    matched = (
+        ngram_jaccard_verify(both, cand, text_col, key,
+                             threshold=threshold)
+        .select(F.col("a").alias(key)).distinct()
+    )
+    survivors = reps.join(matched, key, "left_anti").localCheckpoint()
+    pairs = minhash_dedup_pairs(survivors, text_col, key,
+                                threshold=threshold,
+                                max_bucket_size=max_bucket_size)
+    drop = pairs.select(F.col("b").alias(key)).distinct()
+    return survivors.join(drop, key, "left_anti")
+
+
 # -- duplicate-cluster connected components -----------------------------------
 
 

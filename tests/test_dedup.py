@@ -40,3 +40,22 @@ def test_dedup_against_history(spark):
         ["doc_id", "text"])
     kept = sorted(r.doc_id for r in dedup_against(batch, history).collect())
     assert kept == [2, 4]
+
+
+def test_near_dedup_against_history(spark):
+    from docling_eval_spark.operators.dedup import near_dedup_against
+
+    t_hist = "the quick brown fox jumps over the lazy dog end"
+    t_new = "completely different words here about other topics now"
+    history = spark.createDataFrame([(100, t_hist)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, t_hist),            # exact recrawl -> exact stage drops
+         (2, t_hist + " xdup"),  # near recrawl (J=8/9) -> history stage
+         (3, t_new),             # genuinely new -> kept
+         (4, t_new),             # within-batch exact of 3 -> dropped
+         (5, t_new + " tail"),   # within-batch near of 3 (J=6/7)
+         (6, "unrelated short")],
+        ["doc_id", "text"])
+    kept = sorted(r.doc_id
+                  for r in near_dedup_against(batch, history).collect())
+    assert kept == [3, 6]
