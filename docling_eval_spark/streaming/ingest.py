@@ -75,6 +75,7 @@ def start_ingest(spark: SparkSession, input_path: str, output_path: str,
 def start_dedup_ingest(spark: SparkSession, input_path: str,
                        output_path: str, checkpoint_path: str,
                        key: str = "doc_id", text_col: str = "text",
+                       near: bool = False, threshold: float = 0.8,
                        available_now: bool = True) -> StreamingQuery:
     """Steady-state web ingestion: every micro-batch exact-dedups
     against EVERYTHING already committed to the output (plus itself)
@@ -89,19 +90,35 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
     nothing, so the sink is idempotent without transactional writes.
     Only md5 hashes of the history move (see dedup_against); at scale
     the history read is a column-pruned scan of one 32-char column.
+
+    With `near=True` the batch additionally minhash-probes the
+    committed corpus and drops near-duplicate recrawls at >= threshold
+    (near_dedup_against). That stage needs history KEYS and TEXT —
+    a real deployment stores the minhash signature column at ingest so
+    each batch probes signatures, not text; here the history re-read
+    keeps the sandbox self-contained. Idempotency holds for the exact
+    stage (replayed rows hash-match their committed copies); replayed
+    NEAR batches also drop against their committed selves because a
+    document is a 1.0-Jaccard near-dup of itself.
     """
     from pyspark.errors import AnalysisException
 
-    from ..operators.dedup import dedup_against
+    from ..operators.dedup import dedup_against, near_dedup_against
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        cols = [key, text_col] if near else [text_col]
         try:
             history = batch_df.sparkSession.read.parquet(
-                output_path).select(text_col)
+                output_path).select(*cols)
         except AnalysisException:  # first batch: no output yet
-            history = batch_df.select(text_col).limit(0)
-        kept = dedup_against(batch_df, history, text_col=text_col,
-                             key=key)
+            history = batch_df.select(*cols).limit(0)
+        if near:
+            kept = near_dedup_against(batch_df, history,
+                                      text_col=text_col, key=key,
+                                      threshold=threshold)
+        else:
+            kept = dedup_against(batch_df, history, text_col=text_col,
+                                 key=key)
         kept.write.mode("append").parquet(output_path)
 
     writer = (

@@ -139,3 +139,36 @@ class TestStreamingDedupIngest:
         q = start_dedup_ingest(spark, landing, out, ckpt)
         q.awaitTermination(120)
         assert spark.read.parquet(out).count() == 3
+
+
+class TestStreamingNearDedupIngest:
+    def test_near_recrawls_drop_against_committed(self, spark, tmp_path):
+        from docling_eval_spark.streaming.ingest import start_dedup_ingest
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        cols = ["url", "warc_ts", "html", "text", "lang", "doc_id"]
+        base = "the quick brown fox jumps over the lazy dog end"
+
+        def page(doc_id, text):
+            import datetime
+            return (f"https://x/{doc_id}",
+                    datetime.datetime(2026, 1, 2), text.encode(),
+                    text, "en", doc_id)
+
+        spark.createDataFrame(
+            [page(1, base), page(2, "totally different page text here")],
+            cols).coalesce(1).write.mode("append").parquet(landing)
+        q = start_dedup_ingest(spark, landing, out, ckpt, near=True)
+        q.awaitTermination(180)
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+        # wave 2: near recrawl of doc 1 (Jaccard 8/9) and a new doc
+        spark.createDataFrame(
+            [page(10, base + " xdup"), page(11, "something wholly new")],
+            cols).coalesce(1).write.mode("append").parquet(landing)
+        q = start_dedup_ingest(spark, landing, out, ckpt, near=True)
+        q.awaitTermination(180)
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == \
+            {1, 2, 11}
