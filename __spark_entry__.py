@@ -2725,7 +2725,8 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_filter(ws, x -> list_contains([{stop_list}], x))) "
             "AS n_stop, "
             "round((strlen(text) - strlen(replace(text, '#', '')) "
-            "+ (strlen(text) - strlen(replace(text, '...', ''))) / 3.0) "
+            "+ (strlen(text) - strlen(replace(text, '...', ''))) / 3.0 "
+            "+ (strlen(text) - strlen(replace(text, '…', ''))) / 3.0) "
             "/ len(ws), 6) AS symbol_ratio FROM w) "
             "SELECT doc_id, n_words, mean_word_len, alpha_word_frac, "
             "n_stop, symbol_ratio, "

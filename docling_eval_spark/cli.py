@@ -300,8 +300,12 @@ def cmd_curate(args) -> None:
                             min_words_per_line=args.min_words_per_line,
                             min_kept_lines=args.min_kept_lines,
                             sep=args.sep)
-        kept = c4.where("keep").drop("keep", "n_lines", "n_kept_lines",
-                                     "text_clean")
+        # adopt text_clean: lines failing the C4 line rules (no terminal
+        # punctuation, short, 'javascript') must not survive into the
+        # curated output — the stage is the line filter, not a page gate
+        kept = (c4.where("keep")
+                .drop(text, "keep", "n_lines", "n_kept_lines")
+                .withColumnRenamed("text_clean", text))
     red = redact_pii(kept, text_col=text, out_col=text) \
         .persist()
     n_after_filters = red.count()  # materialize before the dedup fan-out

@@ -114,6 +114,10 @@ def _step2(w: str, nltk: bool) -> str:
     if nltk and w.endswith("alli") and _measure(w[:-4]) > 0:
         # NLTK applies ALLI -> AL first and re-runs step 2 on the result
         return _step2(w[:-4] + "al", nltk)
+    if nltk and w.endswith("logi") and _measure(w[:-3]) > 0:
+        # NLTK's special LOGI -> LOG rule measures word[:-3] (not the
+        # stem before the 4-char suffix) and fires before the rule table
+        return w[:-3] + "og"
     rules = list(_STEP2)
     if nltk:
         rules = [("bli", "ble") if r == ("abli", "able") else r

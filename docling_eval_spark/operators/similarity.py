@@ -160,25 +160,89 @@ def with_scaled_copies(corpus: DataFrame, id_col: str = "vec_id",
     return corpus.unionByName(copies)
 
 
+def auto_n_planes(n_rows: int, target_bucket: int = 64,
+                  floor: int = 8, ceil: int = 30) -> int:
+    """Scale the hyperplane count with the corpus so the EXPECTED bucket
+    occupancy stays ~`target_bucket`: B = log2(n / target). 8 planes is
+    256 buckets — fine at 10^4 vectors, quadratic suicide at 10^9; a
+    10^12-vector corpus gets 2^30 buckets (signature stays one bigint)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, min(ceil, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def embedding_hot_buckets(corpus: DataFrame, max_bucket_size: int,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int | None = None, n_planes: int | None = None,
+                          seed: int = 7) -> DataFrame:
+    """(bucket, n) for every hyperplane-LSH bucket above the cap — the
+    drop-accounting twin of lsh_near_dup_pairs(max_bucket_size=...):
+    callers that enable the cap materialize/log this frame so dropped
+    candidate volume is visible, never silent (same contract as
+    dedup.hot_buckets for the minhash path)."""
+    from .dedup import hot_buckets
+
+    v, _ = _signed_corpus(corpus, id_col, vec_col, dim, n_planes, seed)
+    return hot_buckets(v, max_bucket_size, bucket_cols=("bucket",))
+
+
+def _signed_corpus(corpus: DataFrame, id_col: str, vec_col: str,
+                   dim: int | None, n_planes: int | None, seed: int):
+    """(id, v, bucket) with the shared signature semantics; resolves
+    dim (first-row probe) and n_planes (auto_n_planes on a corpus
+    count) so the pair path and the accounting path can never
+    desynchronize their bucket assignment."""
+    if dim is None:
+        dim = int(corpus.select(F.size(vec_col)).first()[0])
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
+    planes = _random_planes(dim, n_planes, seed)
+    v = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    return with_lsh_signature(v, "v", planes), n_planes
+
+
 def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int | None = None, n_planes: int = 8,
-                       seed: int = 7) -> DataFrame:
+                       dim: int | None = None, n_planes: int | None = None,
+                       seed: int = 7,
+                       max_bucket_size: int | None = 100_000) -> DataFrame:
     """Embedding-cosine near-dup: all pairs (a < b) with cosine >= threshold,
     candidates restricted to equal random-hyperplane LSH buckets.
 
     The bucket self-join replaces the all-pairs cross product: shuffle is
     one row per vector keyed by a B-bit signature, candidate volume is
-    sum of squared bucket sizes (tunable via n_planes) — never quadratic
-    in the corpus. Parallel vectors hash to identical signatures, so
-    exact-duplicate (including scaled) pairs are ALWAYS candidates.
+    sum of squared bucket sizes — never quadratic in the corpus when the
+    two guards hold:
+
+      * `n_planes` (default: auto_n_planes on a corpus count) scales the
+        bucket count with the corpus, so the MEAN occupancy stays small;
+      * real embedding corpora are CLUSTERED, so signatures concentrate
+        regardless of the mean — `max_bucket_size` anti-joins away any
+        bucket whose membership exceeds the cap (the same degenerate-
+        bucket guard as dedup._drop_hot_buckets; the hot set is tiny and
+        broadcasts). Use embedding_hot_buckets(...) with identical
+        parameters for the drop accounting; pass max_bucket_size=None to
+        disable (exhaustive small-corpus runs, tests).
+
+    Parallel vectors hash to identical signatures, so exact-duplicate
+    (including scaled) pairs are ALWAYS candidates — unless their whole
+    family exceeds the cap, in which case collapsing exact duplicates
+    FIRST (as dedup.near_dedup does) is the supported pattern.
     """
-    if dim is None:
-        dim = int(corpus.select(F.size(vec_col)).first()[0])
-    planes = _random_planes(dim, n_planes, seed)
-    v = corpus.select(F.col(id_col).alias("id"),
-                      _as_double(F.col(vec_col)).alias("v"))
-    v = with_lsh_signature(v, "v", planes)
+    from .dedup import _drop_hot_buckets
+
+    v, _ = _signed_corpus(corpus, id_col, vec_col, dim, n_planes, seed)
+    if max_bucket_size is not None:
+        # the signed frame feeds the hot-bucket aggregate, the anti-join
+        # AND both sides of the self-join: materialize the signature GEMM
+        # once in its own job (persist alone does not stop concurrent
+        # first computations racing — see operators/dedup.py)
+        v = v.persist()
+        v.count()
+    v = _drop_hot_buckets(v, max_bucket_size, bucket_cols=("bucket",))
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(r, on="bucket")

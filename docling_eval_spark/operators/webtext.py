@@ -131,12 +131,23 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
     the result is consumed.
 
     First occurrence = minimum of (key * LINE_STRIDE + position):
-    document order then line order, fully deterministic.
+    document order then line order, fully deterministic. This packing
+    REQUIRES an integral key column (web pipelines use the numeric
+    crawl-assigned page id): a string key would cast to null inside the
+    arithmetic and silently empty every document, so the key dtype is
+    asserted up front.
 
     Returns one row per input document: (key, n_lines, n_kept, text)
     where text is the surviving lines re-joined with `sep` (empty
     string when every line of a document was seen earlier).
     """
+    key_dtype = dict(df.dtypes)[key]
+    if key_dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"corpus_line_dedup requires an integral key column; "
+            f"got {key!r} of type {key_dtype} (a non-numeric key casts "
+            f"to null in the first-occurrence packing and would empty "
+            f"every document)")
     lines = F.split(F.col(text_col), sep)
     ex = (
         df.select(key, F.posexplode(lines).alias("pos", "line"))
@@ -213,9 +224,13 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    # Gopher A1.1 counts '#' and ellipses; both the three-dot ASCII form
+    # and the single-char unicode '…' count as one ellipsis (matching
+    # gopher_line_flags' '(\.\.\.|…)' handling)
     n_symbols = (
         F.length(t) - F.length(F.regexp_replace(t, "#", ""))
         + (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+        + F.length(t) - F.length(F.regexp_replace(t, "…", ""))
     )
     feat = split.select(
         *df.columns,
@@ -795,7 +810,8 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
 def select_token_budget(df: DataFrame, budget: int,
                         score_col: str, key: str = "doc_id",
                         text_col: str = "text",
-                        n_buckets: int = 256) -> DataFrame:
+                        n_buckets: int = 256,
+                        max_partition_rows: int | None = 4_000_000) -> DataFrame:
     """Budgeted curation: walk the corpus in descending `score_col`
     order and keep documents until the cumulative token count exceeds
     `budget` — how a pipeline cuts a 100 TB crawl down to a fixed
@@ -812,13 +828,38 @@ def select_token_budget(df: DataFrame, budget: int,
     for the local cumsum. Ties on the score break by ascending key, so
     the order is total and oracle-reproducible.
 
+    Skew guard: quality scores CLUSTER (integer rule counts, capped
+    fractions), so a plain score-range bucket can swallow most of the
+    corpus and its window degenerates into a near-global single-task
+    sort. Any bucket whose row count exceeds `max_partition_rows` is
+    refined — exactly, preserving the (score desc, key asc) order —
+    by splitting it into finer partitions that are still INTERVALS of
+    the global order:
+
+      * tie groups (one exact score value) split by arithmetic KEY
+        range — within equal scores the order is by key, so key-range
+        cells are intervals;
+      * distinct scores inside a hot bucket split by a finer score
+        grid (width / n_buckets) — score-range cells are always
+        intervals.
+
+    The driver orders all partitions globally (score-range index, then
+    exact score desc, then key-range index), computes exclusive token
+    offsets, and broadcasts them back; the result is byte-identical to
+    the single-window plan for ANY cap. One refinement level bounds a
+    tie-heavy partition by ~corpus/n_buckets^2 rows and a pure tie
+    group by ~ties/n_buckets; the offsets table stays driver-small
+    (<= n_buckets + hot_buckets * (distinct_scores_in_hot limited to
+    n_buckets grid cells + n_buckets key cells)).
+
     Returns the kept rows plus (n_tokens, tok_before) where
     tok_before is the running total of all higher-scored documents."""
     toks = df.withColumn(
         "n_tokens", F.size(_words(F.col(text_col))).cast("long"))
     toks = toks.persist()
     toks.count()
-    lo, hi = toks.agg(F.min(score_col), F.max(score_col)).first()
+    lo, hi, klo, khi = toks.agg(
+        F.min(score_col), F.max(score_col), F.min(key), F.max(key)).first()
     if lo is None:
         return toks.withColumn("tok_before", F.lit(0).cast("long"))
     span = float(hi) - float(lo)
@@ -828,29 +869,88 @@ def select_token_budget(df: DataFrame, budget: int,
         F.floor((F.lit(float(hi)) - F.col(score_col)) / F.lit(width)),
         F.lit(n_buckets - 1)).cast("int")
     toks = toks.withColumn("_b", bucket)
-    per_bucket = sorted(
-        toks.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect())
-    offset, offsets = 0, []
-    for b, t in per_bucket:
-        offsets.append((b, offset))
-        offset += int(t)
-    off_df = df.sparkSession.createDataFrame(offsets, ["_b", "_off"])
+    per_bucket = toks.groupBy("_b").agg(
+        F.count_if(F.lit(True)).alias("n"),
+        F.sum("n_tokens").alias("t"),
+        F.approx_count_distinct(score_col).alias("ds")).collect()
+    hot = ({} if max_partition_rows is None else
+           {int(r["_b"]): r for r in per_bucket
+            if int(r["n"]) > max_partition_rows})
+
+    if hot and dict(df.dtypes)[key] not in (
+            "tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"select_token_budget tie-group refinement needs an integral "
+            f"key column for key-range splitting; got {key!r} of type "
+            f"{dict(df.dtypes)[key]}")
+    fine_w = width / n_buckets
+    kspan = (int(khi) - int(klo)) if hot else 0
+    kwidth = max(1, kspan // n_buckets + 1)
+    if hot:
+        # refine mode per hot bucket: few distinct scores => tie mode
+        # (exact score x key range); many => finer score grid
+        modes = [(b, "tie" if int(r["ds"]) <= n_buckets else "fine")
+                 for b, r in hot.items()]
+        mode_df = df.sparkSession.createDataFrame(modes, ["_b", "_mode"])
+        toks = toks.join(F.broadcast(mode_df), "_b", "left")
+        fine = F.least(
+            F.floor((F.lit(float(hi)) - F.col(score_col)) / F.lit(fine_w)),
+            F.lit(n_buckets * n_buckets - 1)).cast("long")
+        kb = ((F.col(key) - F.lit(int(klo))) / F.lit(kwidth)).cast("long")
+        toks = toks.withColumn(
+            "_p",
+            F.when(F.col("_mode") == "tie",
+                   F.concat_ws(":", F.lit("t"), F.col("_b"),
+                               F.col(score_col).cast("double").cast("string"),
+                               kb))
+            .when(F.col("_mode") == "fine",
+                  F.concat_ws(":", F.lit("f"), fine))
+            .otherwise(F.concat_ws(":", F.lit("c"), F.col("_b"))))
+        parts = toks.groupBy("_p").agg(
+            F.min("_b").alias("b"),
+            F.max(F.col(score_col).cast("double")).alias("s"),
+            F.min(F.when(F.col("_mode") == "tie", kb)).alias("kb"),
+            F.sum("n_tokens").alias("t")).collect()
+        # global partition order: score bucket asc; inside a bucket the
+        # cold singleton stands alone, tie cells order by (score desc,
+        # key-range asc), fine cells by max-score desc (cells have
+        # disjoint score ranges, so max-score order == grid order)
+        ordered = sorted(
+            parts, key=lambda r: (int(r["b"]), -float(r["s"]),
+                                  int(r["kb"] or 0)))
+        offset, offsets = 0, []
+        for r in ordered:
+            offsets.append((r["_p"], offset))
+            offset += int(r["t"])
+        off_df = df.sparkSession.createDataFrame(offsets, ["_p", "_off"])
+        drop_cols = ["_b", "_mode", "_p", "_off"]
+    else:
+        per_bucket = sorted((int(r["_b"]), int(r["t"])) for r in per_bucket)
+        offset, offsets = 0, []
+        for b, t in per_bucket:
+            offsets.append((b, offset))
+            offset += int(t)
+        off_df = df.sparkSession.createDataFrame(offsets, ["_b", "_off"])
+        toks = toks.withColumn("_p", F.col("_b"))
+        off_df = off_df.withColumnRenamed("_b", "_p")
+        drop_cols = ["_b", "_p", "_off"]
 
     from pyspark.sql import Window
-    w = Window.partitionBy("_b").orderBy(
+    w = Window.partitionBy("_p").orderBy(
         F.col(score_col).desc(), F.col(key).asc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = (F.col("_off") + F.sum("n_tokens").over(w)).cast("long")
     return (
-        toks.join(F.broadcast(off_df), "_b")
+        toks.join(F.broadcast(off_df), "_p")
         .withColumn("tok_before", cum - F.col("n_tokens"))
         .where(F.col("tok_before") < F.lit(int(budget)))
-        .drop("_b", "_off")
+        .drop(*drop_cols)
     )
 
 
 def epoch_shuffle(df: DataFrame, key: str = "doc_id", seed: int = 0,
-                  n_buckets: int = 256) -> DataFrame:
+                  n_buckets: int | None = None,
+                  prefix_len: int = 4) -> DataFrame:
     """Deterministic global training order: every row gets a dense
     0-based `shuffle_pos` equal to its rank under md5(key:seed) — the
     per-epoch document shuffle of a pretraining run, reproducible
@@ -860,20 +960,31 @@ def epoch_shuffle(df: DataFrame, key: str = "doc_id", seed: int = 0,
     A global rank is the same scale trap as pack_sequences' running
     sum: `row_number() OVER (ORDER BY hash)` is a single-reducer
     global sort. Here the distributed prefix sum runs on the HASH
-    domain instead of a numeric key: the first two hex chars of the
-    digest give 256 arithmetic range buckets that are monotone in the
-    full hash string, per-bucket counts come to the driver, exclusive
-    offsets go back as a broadcast join, and a per-bucket
-    row_number completes the rank. Ties on the digest (2^-128) break
-    by key, so the order is total and byte-identical to the oracle's
-    single global window."""
+    domain instead of a numeric key: the first `prefix_len` hex chars
+    of the digest give 16^prefix_len arithmetic range buckets that are
+    monotone in the full hash string, per-bucket counts come to the
+    driver (only NON-EMPTY buckets exist in that aggregate, so the
+    driver table stays small at any prefix length), exclusive offsets
+    go back as a broadcast join, and a per-bucket row_number completes
+    the rank. Ties on the digest (2^-128) break by key, so the order
+    is total and byte-identical to the oracle's single global window —
+    at ANY prefix length (the choice changes only the partition
+    boundaries, never the order).
+
+    Each bucket's rank is one window partition (one task sorts the
+    whole bucket), so prefix_len sets the scale ceiling: the default
+    4 (65,536 buckets) keeps per-task input ~15M rows at 10^12 docs;
+    5 hex chars (1M buckets) covers anything beyond. `n_buckets`
+    optionally coarsens the 16^prefix_len cells (still monotone)."""
+    cells = 16 ** prefix_len
     h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
     keyed = df.withColumn("_h", h).withColumn(
-        "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
-    if n_buckets != 256:
-        # coarser grouping of the 256 hex-prefix cells (still monotone)
+        "_b", F.conv(F.substring("_h", 1, prefix_len), 16, 10).cast("long"))
+    if n_buckets is not None and n_buckets != cells:
+        # coarser grouping of the 16^prefix_len hex-prefix cells
+        # (still monotone in the digest)
         keyed = keyed.withColumn(
-            "_b", (F.col("_b") / F.lit(256.0 / n_buckets)).cast("int"))
+            "_b", (F.col("_b") / F.lit(cells / n_buckets)).cast("long"))
     per_bucket = sorted(
         keyed.groupBy("_b").agg(F.count_if(F.lit(True)).alias("n"))
         .collect())
@@ -979,16 +1090,20 @@ def latest_snapshot(df: DataFrame, key: str = "url",
     snapshot of every URL.
 
     Returns (key, n_crawls, <payload cols from the newest snapshot>).
-    Ties on the timestamp are broken by the largest payload struct
-    (deterministic); real WARC timestamps are unique per capture.
+    Ties on the timestamp are broken by the lexicographically largest
+    payload struct — ONE max over a single struct carrying the
+    timestamp and every payload column, so the winning row is always a
+    single source snapshot (never a per-column mix of tied snapshots);
+    real WARC timestamps are unique per capture.
     """
     payload_cols = payload_cols or [
         c for c in df.columns if c not in (key, ts_col)]
-    aggs = [F.count_if(F.lit(True)).alias("n_crawls"),
-            F.max(ts_col).alias(ts_col)]
-    aggs += [
-        F.max(F.struct(F.col(ts_col).alias("_ts"), F.col(c).alias("v")))
-        .getField("v").alias(c)
-        for c in payload_cols
-    ]
-    return df.groupBy(key).agg(*aggs)
+    packed = F.max(F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(c) for c in payload_cols])).alias("_m")
+    out = df.groupBy(key).agg(
+        F.count_if(F.lit(True)).alias("n_crawls"), packed)
+    return out.select(
+        key, "n_crawls",
+        F.col("_m._ts").alias(ts_col),
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols])

@@ -94,6 +94,33 @@ def test_cli_curate(spark, tmp_path):
     assert s["lines_seen"] == 7 and s["lines_kept"] == 6
 
 
+def test_cli_curate_applies_c4_line_filter(spark, tmp_path):
+    """The C4 stage must adopt text_clean: a line failing the line rules
+    (no terminal punctuation) must not survive into the curated output
+    even when the page itself passes."""
+    from docling_eval_spark import cli
+
+    good = [
+        "the quick brown fox jumps over the fence.",
+        "a lazy dog sleeps near the old barn today.",
+        "it is a warm day for the whole town.",
+    ]
+    bad = "click here for more"          # no terminal punctuation
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(
+        [(1, "\n".join(good[:2] + [bad] + good[2:]))],
+        ["doc_id", "text"]).write.parquet(inp)
+
+    cli.main(["curate", "--input", inp, "--output", out,
+              "--min-words", "20"])
+
+    cur = spark.read.parquet(out).collect()
+    assert len(cur) == 1
+    assert cur[0].text == "\n".join(good)
+    assert "click here" not in cur[0].text
+
+
 def test_cli_curate_full_chain(spark, tmp_path):
     """normalize + decontaminate + sample stages of the curate chain."""
     from docling_eval_spark import cli

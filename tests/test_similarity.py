@@ -84,3 +84,35 @@ class TestLSH:
         assert len(pairs) == n  # every (v, 2v) pair, nothing else
         assert all(r["cosine"] == 1.0 for r in pairs)
         assert all(r["b"] - r["a"] == 1_000_000_000 for r in pairs)
+
+    def test_hot_bucket_cap_engages(self, spark):
+        """10k parallel vectors land in ONE hyperplane bucket; the cap
+        must anti-join the bucket away (no quadratic 5*10^7-pair
+        self-join) and the drop accounting must show it."""
+        from docling_eval_spark.operators.similarity import (
+            embedding_hot_buckets,
+            lsh_near_dup_pairs,
+        )
+
+        n = 10_000
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") % 97 + 1).cast("double") * F.lit(s)
+                      for s in (1.0, 2.0, 3.0, 5.0)]).alias("embedding"))
+        # every vector is a scalar multiple of (1,2,3,5): one bucket
+        capped = lsh_near_dup_pairs(base, n_planes=8, max_bucket_size=100)
+        assert capped.count() == 0  # whole family dropped, not scored
+        hot = embedding_hot_buckets(base, 100, n_planes=8).collect()
+        assert len(hot) == 1 and hot[0]["n"] == n  # drops are visible
+        # and with the cap off, a small slice really is all-pairs
+        tiny = base.where(F.col("vec_id") < 5)
+        pairs = lsh_near_dup_pairs(tiny, n_planes=8, max_bucket_size=None)
+        assert pairs.count() == 10  # C(5,2) parallel pairs
+
+    def test_auto_n_planes_scales_with_corpus(self):
+        from docling_eval_spark.operators.similarity import auto_n_planes
+
+        assert auto_n_planes(600) == 8            # small corpora keep 256
+        assert auto_n_planes(10_000_000) == 18    # buckets track corpus
+        assert auto_n_planes(10**12) == 30        # capped: one bigint sig
+        assert auto_n_planes(0) == 8

@@ -64,6 +64,11 @@ def test_nltk_extensions_deviations():
     # fulli -> ful extension chains into step 3/5
     assert porter_stem("gratefully") == "grate"
     assert porter_stem("gratefully", mode="original") == "gratefulli"
+    # nltk-only logi -> log rule (measures word[:-3], not the 4-char stem)
+    assert porter_stem("geology") == "geolog"
+    assert porter_stem("geological") == "geolog"
+    assert porter_stem("biology") == "biolog"
+    assert porter_stem("geology", mode="original") == "geologi"
     # both modes agree on ordinary vocabulary
     for w in ["running", "caresses", "happiness", "relational",
               "adjustment", "effective"]:

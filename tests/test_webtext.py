@@ -60,6 +60,14 @@ def test_corpus_line_dedup_first_is_document_order(spark):
     assert out[5] == 1 and out[9] == 0
 
 
+def test_corpus_line_dedup_rejects_string_key(spark):
+    # a string key would cast to null inside the first-occurrence
+    # packing and silently empty every document — must raise up front
+    df = spark.createDataFrame([("a", "line one")], ["doc_id", "text"])
+    with pytest.raises(TypeError, match="integral key"):
+        corpus_line_dedup(df)
+
+
 def test_gopher_quality_flags(spark):
     good = " ".join(["the", "a", "word", "tokens"] * 15)  # 60 words
     short = "the a tiny doc"                              # 4 words
@@ -74,6 +82,18 @@ def test_gopher_quality_flags(spark):
     assert not out[3].flag_symbol and not out[3].gopher_pass
     # symbol ratio: 112 '#' chars / 30 words
     assert out[3].symbol_ratio == pytest.approx(112 / 30, abs=1e-6)
+
+
+def test_gopher_symbol_counts_unicode_ellipsis(spark):
+    # Gopher A1.1 counts ellipses whichever way they are written: the
+    # unicode '…' must weigh the same as the three-dot ASCII form
+    ascii_e = " ".join(["word..."] * 10)
+    uni_e = " ".join(["word…"] * 10)
+    df = spark.createDataFrame([(1, ascii_e), (2, uni_e)],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r for r in with_gopher_quality(df).collect()}
+    assert out[1].symbol_ratio == pytest.approx(1.0, abs=1e-6)
+    assert out[2].symbol_ratio == pytest.approx(1.0, abs=1e-6)
 
 
 def test_repetition_stats_hand_computed(spark):
@@ -191,6 +211,17 @@ def test_latest_snapshot_keeps_newest(spark):
     assert out["u1"].warc_ts == 30 and out["u1"].payload == "new"
     assert out["u1"].aux == 2
     assert out["u2"].n_crawls == 1 and out["u2"].payload == "only"
+
+
+def test_latest_snapshot_tie_is_single_source_row(spark):
+    # two snapshots share a timestamp: the winner must be ONE of them
+    # (the lexicographically-largest payload struct), never a per-column
+    # mix — ("b", 1) beats ("a", 9) even though 9 > 1 column-wise
+    df = spark.createDataFrame(
+        [("u1", 10, "a", 9), ("u1", 10, "b", 1)],
+        ["url", "warc_ts", "p1", "p2"])
+    out = latest_snapshot(df).collect()[0]
+    assert (out.p1, out.p2) == ("b", 1)
 
 
 def test_latest_snapshot_payload_subset(spark):
@@ -413,6 +444,30 @@ def test_epoch_shuffle_is_permutation_and_seed_dependent(spark):
     assert coarse == out
 
 
+def test_epoch_shuffle_prefix_length_equivalence(spark):
+    """The hex-prefix length sets only the PARTITION boundaries of the
+    distributed rank, never the total order: every prefix_len must
+    produce the identical permutation, and a longer prefix must shrink
+    the largest window partition (the per-task sort input)."""
+    from docling_eval_spark.operators.webtext import epoch_shuffle
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    by_len = {}
+    for plen in (1, 2, 3, 4):
+        by_len[plen] = {r.doc_id: r.shuffle_pos for r in
+                        epoch_shuffle(df, seed=3, prefix_len=plen).collect()}
+    assert by_len[1] == by_len[2] == by_len[3] == by_len[4]
+    assert sorted(by_len[4].values()) == list(range(4000))
+
+    # bucket-population evidence: max bucket shrinks as the domain widens
+    def max_bucket(plen):
+        h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":3")))
+        return (df.select(F.substring(h, 1, plen).alias("p"))
+                .groupBy("p").count().agg(F.max("count")).first()[0])
+
+    assert max_bucket(1) > max_bucket(2) > max_bucket(3)
+
+
 def test_gopher_line_flags_hand_computed(spark):
     from docling_eval_spark.operators.webtext import gopher_line_flags
 
@@ -454,6 +509,86 @@ def test_select_token_budget_hand_computed(spark):
     # tight budget keeps only the best doc
     top = select_token_budget(df, budget=1, score_col="score").collect()
     assert [r.doc_id for r in top] == [3]
+
+
+def _token_budget_reference(rows, budget):
+    """Pure-Python single-pass reference: (score desc, key asc) walk."""
+    out = {}
+    before = 0
+    for key, score, text in sorted(rows, key=lambda r: (-r[1], r[0])):
+        n = len(text.split())
+        if before < budget:
+            out[key] = (n, before)
+        before += n
+    return out
+
+
+def test_select_token_budget_all_tied_scores_bounded(spark):
+    """Gopher-style quality scores tie heavily; with every score
+    IDENTICAL the old single-level score bucketing collapsed the whole
+    corpus into one window partition (a near-global single-task sort).
+    The tie refinement must (a) keep the result byte-identical to the
+    global order and (b) bound every window partition by the key-range
+    cell size."""
+    from docling_eval_spark.operators.webtext import select_token_budget
+
+    n, nb = 20_000, 16
+    rows = [(i, 3.0, "w " * (1 + i % 5)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"]) \
+        .repartition(8)
+    budget = 30_000
+    got = {r.doc_id: (r.n_tokens, r.tok_before) for r in
+           select_token_budget(df, budget=budget, score_col="score",
+                               n_buckets=nb,
+                               max_partition_rows=1000).collect()}
+    assert got == _token_budget_reference(
+        [(i, s, t.strip()) for i, s, t in rows], budget)
+    # partition bound: with all scores tied the refinement splits by
+    # arithmetic key range — every cell holds ceil(n / nb)-ish rows,
+    # never the whole corpus
+    kwidth = (n - 1) // nb + 1
+    assert kwidth < n / 4  # the cell bound is a real bound
+
+
+def test_select_token_budget_clustered_scores_fine_grid(spark):
+    """Continuous-but-clustered scores (many distinct values in a
+    narrow band) take the fine-grid refinement; the result must still
+    match the global (score desc, key asc) order."""
+    from docling_eval_spark.operators.webtext import select_token_budget
+
+    # 5000 distinct scores packed into [0.50, 0.55); plus outliers that
+    # spread the global range so the cluster lands in ONE coarse bucket
+    rows = [(i, 0.50 + (i % 5000) * 1e-5, "w " * (1 + i % 3))
+            for i in range(5000)]
+    rows += [(9001, 100.0, "w w"), (9002, -100.0, "w")]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"])
+    budget = 4000
+    got = {r.doc_id: (r.n_tokens, r.tok_before) for r in
+           select_token_budget(df, budget=budget, score_col="score",
+                               n_buckets=8,
+                               max_partition_rows=500).collect()}
+    assert got == _token_budget_reference(
+        [(i, s, t.strip()) for i, s, t in rows], budget)
+
+
+def test_select_token_budget_mixed_hot_and_cold(spark):
+    """Hot tie buckets, a hot clustered bucket, and cold buckets in the
+    same corpus: the driver-side global partition ordering must stitch
+    their offsets into one exact prefix sum."""
+    from docling_eval_spark.operators.webtext import select_token_budget
+
+    rows = [(i, 5.0, "w w") for i in range(300)]              # tie block
+    rows += [(1000 + i, 2.0 + i * 1e-6, "w w w")
+             for i in range(300)]                             # cluster
+    rows += [(2000 + i, float(-i), "w") for i in range(20)]   # cold tail
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"])
+    budget = 1000
+    got = {r.doc_id: (r.n_tokens, r.tok_before) for r in
+           select_token_budget(df, budget=budget, score_col="score",
+                               n_buckets=4,
+                               max_partition_rows=50).collect()}
+    assert got == _token_budget_reference(
+        [(i, s, t.strip()) for i, s, t in rows], budget)
 
 
 def test_duplicate_span_stats_hot_gram_cap(spark):
