@@ -2205,6 +2205,38 @@ def _q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, ctx_len=128).orderBy("doc_id")
 
 
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE token counts (from-scratch GPT-2 algorithm,
+    functions/bpe.py) under the closed-form merges table
+    [('a','b'), ('ab','c')]: merges never cross pre-token boundaries
+    (adjacent letters always share a letter run), rule 1 fires once per
+    literal 'ab' and rule 2 once per literal 'abc', so the exact count
+    is bytes(text) - occ('ab') - occ('abc') — ANSI-SQL-computable, and
+    it exercises the iterative merge order (rule 2 consumes rule 1's
+    output symbol)."""
+    from docling_eval_spark.operators.webtext import with_bpe_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return (with_bpe_token_counts(docs, [("a", "b"), ("ab", "c")])
+            .select("doc_id", "n_bpe_tokens").orderBy("doc_id"))
+
+
+def _q_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing on BPE token counts (token_col mode):
+    the packer must consume the precomputed counts verbatim, so the
+    oracle is the single global window over the closed-form BPE count
+    expression."""
+    from docling_eval_spark.operators.webtext import (
+        pack_sequences, with_bpe_token_counts)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    counted = with_bpe_token_counts(docs, [("a", "b"), ("ab", "c")])
+    return pack_sequences(counted, ctx_len=256,
+                          token_col="n_bpe_tokens").orderBy("doc_id")
+
+
 def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 §2.2 line+page filters over punctuation-augmented pseudo-lines
     (every i%3!=0 line gets terminal punctuation; docs at doc_id%17==0
@@ -2280,7 +2312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (full local oracle sweeps still cover all 95 every round).
     """
     return {
-        # --- window (slots 1-45): last driver row is CORRECTNESS_r02.json ---
+        # --- slots 1-2: NEW in round 4, never driver-verified ---
+        "bpe_token_counts": _q_bpe_token_counts,
+        "pack_bpe_sequences": _q_pack_bpe_sequences,
+        # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
         "layout_image_metrics": _q_layout_image_metrics,
@@ -3063,6 +3098,31 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN url LIKE '%lottery%' THEN 0.5 ELSE 0 END) + "
             "(CASE WHEN url LIKE '%betting%' THEN 0.5 ELSE 0 END) < 1.0 "
             "AS url_keep FROM p ORDER BY doc_id"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, cast(strlen(text) "
+            "- (strlen(text) - strlen(replace(text, 'ab', ''))) // 2 "
+            "- (strlen(text) - strlen(replace(text, 'abc', ''))) // 3 "
+            "AS bigint) AS n_bpe_tokens FROM documents ORDER BY doc_id"
+        ),
+        "pack_bpe_sequences": (
+            "WITH t AS (SELECT doc_id, cast(strlen(text) "
+            "- (strlen(text) - strlen(replace(text, 'ab', ''))) // 2 "
+            "- (strlen(text) - strlen(replace(text, 'abc', ''))) // 3 "
+            "AS bigint) AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "cast(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) "
+            "AS cum FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "cast(cum - n_tokens AS bigint) AS tok_start, "
+            "cast(floor((cum - n_tokens) / 256.0) AS bigint) AS seq_first, "
+            "cast(CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 256.0) "
+            "ELSE floor((cum - n_tokens) / 256.0) END AS bigint) AS seq_last, "
+            "cast(CASE WHEN n_tokens > 0 THEN "
+            "floor((cum - 1) / 256.0) - floor((cum - n_tokens) / 256.0) + 1 "
+            "ELSE 0 END AS bigint) AS n_seqs "
+            "FROM c ORDER BY doc_id"
         ),
         "pack_sequences_docs": (
             "WITH t AS (SELECT doc_id, "

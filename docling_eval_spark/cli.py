@@ -222,9 +222,20 @@ def cmd_pack(args) -> None:
     spark = _spark(args.cpus)
     docs = spark.read.parquet(args.input)
     shuffled = epoch_shuffle(docs, key=args.key, seed=args.seed)
+    token_col = None
+    pack_input = shuffled.select(F.col("shuffle_pos"), F.col(args.text_col))
+    if args.bpe_merges:
+        from .functions.bpe import load_merges
+        from .operators.webtext import with_bpe_token_counts
+
+        with open(args.bpe_merges) as f:
+            merges = load_merges(f)
+        pack_input = with_bpe_token_counts(
+            pack_input, merges, text_col=args.text_col)
+        token_col = "n_bpe_tokens"
     packed = pack_sequences(
-        shuffled.select(F.col("shuffle_pos"), F.col(args.text_col)),
-        ctx_len=args.ctx, key="shuffle_pos", text_col=args.text_col)
+        pack_input, ctx_len=args.ctx, key="shuffle_pos",
+        text_col=args.text_col, token_col=token_col)
     manifest = (
         shuffled.select(args.key, "shuffle_pos")
         .join(packed, "shuffle_pos")
@@ -443,6 +454,9 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--ctx", type=int, default=2048)
     pk.add_argument("--seed", type=int, default=0)
     pk.add_argument("--summary", default=None)
+    pk.add_argument("--bpe-merges", default=None,
+                    help="merges.txt: pack on byte-level-BPE token "
+                         "counts instead of whitespace words")
     pk.set_defaults(fn=cmd_pack)
 
     c = sub.add_parser("consolidate")
