@@ -1452,6 +1452,30 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
+    gets JPEG magic, %7==1 P6, the rest PNG): JPEG must surface as a
+    distinct undecodable class, never silently as generic binary. The
+    oracle assumes this sandbox's no-Pillow environment (with Pillow
+    importable the JPEG tier reads 'pil')."""
+    from docling_eval_spark.operators.multimodal import decode_tier_accounting
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    prefix = (
+        F.when(F.col("doc_id") % 7 == 0, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 7 == 1, F.unhex(F.lit("5036")))
+        .otherwise(F.unhex(F.lit("89504E47"))))
+    payloads = docs.select(
+        "doc_id", F.concat(prefix, F.encode("text", "utf-8")).alias("payload"))
+    return (
+        decode_tier_accounting(payloads)
+        .groupBy("mime", "decode_tier")
+        .agg(F.count("*").alias("n_payloads"))
+        .orderBy("mime")
+    )
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped frame sampling fan-out: one row per sampled chunk; the
     oracle recomputes the fan-out count from byte lengths."""
@@ -2315,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 1-2: NEW in round 4, never driver-verified ---
         "bpe_token_counts": _q_bpe_token_counts,
         "pack_bpe_sequences": _q_pack_bpe_sequences,
+        "payload_mime_counts": _q_payload_mime_counts,
         # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
@@ -3523,6 +3548,15 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(strlen(text) + 4) AS bigint) AS total_bytes, "
             "count(DISTINCT text) AS n_unique, 'image/png' AS mime "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "payload_mime_counts": (
+            "WITH p AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'image/jpeg' "
+            "WHEN doc_id % 7 = 1 THEN 'image/x-portable-pixmap' "
+            "ELSE 'image/png' END AS mime FROM documents) "
+            "SELECT mime, CASE WHEN mime = 'image/jpeg' "
+            "THEN 'undecodable' ELSE 'builtin' END AS decode_tier, "
+            "count(*) AS n_payloads FROM p GROUP BY mime "
+            "ORDER BY mime"
         ),
         "multimodal_frames": (
             "WITH p AS (SELECT doc_id, strlen(text) + 4 AS len, "

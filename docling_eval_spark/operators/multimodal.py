@@ -123,6 +123,46 @@ def with_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+def _has_pil() -> bool:
+    try:  # pragma: no cover - environment-dependent
+        from PIL import Image  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def decode_tier_accounting(df: DataFrame,
+                           payload_col: str = "payload") -> DataFrame:
+    """Per-payload decode-tier classification, native expressions only:
+    (mime, decode_tier) where decode_tier names the decoder that WOULD
+    handle the payload —
+
+      'builtin'      PPM/PNG: the from-scratch numpy / png_codec paths
+      'pil'          JPEG with Pillow importable
+      'undecodable'  JPEG with no codec available — a DISTINCT class,
+                     never silently lumped into the generic fake
+      'fake'         everything else (deterministic fake decode)
+
+    The honesty layer the decode tier owes its accounting: a corpus of
+    JPEG page images with no codec in the image must show up as
+    undecodable JPEG counts, not as generic binary that 'decoded'."""
+    p = F.col(payload_col)
+    mime = F.lit("application/octet-stream")
+    for prefix, m in reversed(_MAGIC):
+        mime = F.when(
+            F.hex(F.substring(p, 1, len(prefix)))
+            == F.lit(prefix.hex().upper()),
+            F.lit(m)).otherwise(mime)
+    out = df.withColumn("mime", mime)
+    tier = (
+        F.when(F.col("mime").isin("image/x-portable-pixmap", "image/png"),
+               F.lit("builtin"))
+        .when(F.col("mime") == "image/jpeg",
+              F.lit("pil") if _has_pil() else F.lit("undecodable"))
+        .otherwise(F.lit("fake")))
+    return out.withColumn("decode_tier", tier)
+
+
 IMAGE_FEATURES_SCHEMA = (
     "doc_id bigint, width int, height int, mean_luma double, "
     "embedding array<float>"
@@ -221,6 +261,13 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                         continue
                     except Exception:
                         pass
+                if b.startswith(b"\xff\xd8\xff"):
+                    # JPEG with no codec available: report honest nulls
+                    # (a distinct undecodable class — see
+                    # decode_tier_accounting), never fake features that
+                    # pretend the image decoded
+                    rows.append((int(doc_id), None, None, None, None))
+                    continue
                 w, h, luma, feat = _fake_decode(b, dim)
                 rows.append((int(doc_id), w, h, luma, feat))
             yield pd.DataFrame(rows, columns=[

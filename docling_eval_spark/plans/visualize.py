@@ -131,6 +131,110 @@ body {{ font-family: sans-serif; margin: 1rem; }}
 </body></html>"""
 
 
+def _hex_rgb(color: str) -> tuple[int, int, int]:
+    c = color.lstrip("#")
+    if len(c) == 3:
+        c = "".join(ch * 2 for ch in c)
+    return tuple(int(c[i:i + 2], 16) for i in (0, 2, 4))
+
+
+def draw_boxes(arr, boxes, default: str = "#333", thickness: int = 2):
+    """Composite box OUTLINES onto an (h, w, 3) uint8 page image in
+    place — the raster twin of svg_overlay, per-label colors included.
+    Boxes are clipped to the page; returns the array."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    for b in boxes:
+        color = np.array(
+            _hex_rgb(_LABEL_COLORS.get(b["label"] or "", default)),
+            dtype=np.uint8)
+        l = max(int(round(float(b["l"]))), 0)
+        t = max(int(round(float(b["t"]))), 0)
+        r = min(int(round(float(b["r"]))), w - 1)
+        bt = min(int(round(float(b["b"]))), h - 1)
+        if r < l or bt < t:
+            continue
+        th = thickness
+        arr[t:min(t + th, bt + 1), l:r + 1] = color          # top edge
+        arr[max(bt - th + 1, t):bt + 1, l:r + 1] = color     # bottom edge
+        arr[t:bt + 1, l:min(l + th, r + 1)] = color          # left edge
+        arr[t:bt + 1, max(r - th + 1, l):r + 1] = color      # right edge
+    return arr
+
+
+def raster_overlay(page_png: bytes, boxes, thickness: int = 2) -> bytes:
+    """Decode a page PNG, composite box outlines, re-encode — PIXEL
+    parity with the reference's draw-on-the-page-image sink
+    (visualisation/visualisations.py:1-226), built entirely on the
+    in-repo from-scratch codec (functions/png_codec.py): no Pillow.
+    Gray pages are promoted to RGB; alpha channels are preserved."""
+    import numpy as np
+
+    from ..functions.png_codec import decode_png, encode_png
+
+    arr = decode_png(page_png)
+    if arr.ndim == 2 or arr.shape[2] == 1:
+        arr = np.repeat(arr.reshape(arr.shape[0], arr.shape[1], 1), 3, axis=2)
+    alpha = None
+    if arr.shape[2] == 2:          # gray+alpha
+        alpha = arr[:, :, 1:]
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif arr.shape[2] == 4:        # rgba
+        alpha = arr[:, :, 3:]
+        arr = arr[:, :, :3]
+    arr = np.ascontiguousarray(arr)
+    draw_boxes(arr, boxes, thickness=thickness)
+    if alpha is not None:
+        arr = np.concatenate([arr, alpha], axis=2)
+    return encode_png(arr)
+
+
+def visualize_layout_raster(pairs: DataFrame, out_dir: str, n: int = 8,
+                            page_image_col: str | None = None,
+                            page_w_col: str = "page_width",
+                            page_h_col: str = "page_height",
+                            gt_col: str = "gt_boxes",
+                            pred_col: str = "pred_boxes",
+                            thickness: int = 2) -> list[str]:
+    """Raster twin of visualize_layout_sample: write up to n PNG pages
+    with GT boxes drawn on the left half and predictions on the right
+    (side-by-side, like the reference's HTML). Page pixels come from
+    `page_image_col` (binary PNG) when given, else a synthesized white
+    page of (page_h, page_w). Sampled + collected — never run over the
+    full corpus."""
+    import numpy as np
+
+    from ..functions.png_codec import decode_png, encode_png
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["doc_id", page_w_col, page_h_col, gt_col, pred_col]
+    if page_image_col:
+        cols.append(page_image_col)
+    rows = pairs.select(*cols).limit(n).collect()
+    paths = []
+    for r in rows:
+        if page_image_col:
+            base = decode_png(bytes(r[page_image_col]))
+            if base.ndim == 2 or base.shape[2] == 1:
+                base = np.repeat(
+                    base.reshape(base.shape[0], base.shape[1], 1), 3, axis=2)
+            base = np.ascontiguousarray(base[:, :, :3])
+        else:
+            base = np.full((int(r[page_h_col]), int(r[page_w_col]), 3),
+                           255, dtype=np.uint8)
+        gt = draw_boxes(base.copy(), r[gt_col] or [], thickness=thickness)
+        pred = draw_boxes(base.copy(), r[pred_col] or [],
+                          thickness=thickness)
+        sep = np.zeros((base.shape[0], 2, 3), dtype=np.uint8)
+        page = np.concatenate([gt, sep, pred], axis=1)
+        p = os.path.join(out_dir, f"layout_{r['doc_id']}.png")
+        with open(p, "wb") as f:
+            f.write(encode_png(page))
+        paths.append(p)
+    return paths
+
+
 def visualize_layout_sample(pairs: DataFrame, out_dir: str, n: int = 8,
                             page_w_col: str = "page_width",
                             page_h_col: str = "page_height",

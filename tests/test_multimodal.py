@@ -44,6 +44,44 @@ class TestMultimodal:
         assert all(len(r["embedding"]) == 16 for r in r1.values())
         assert all(64 <= r["width"] <= 256 for r in r1.values())
 
+    def test_decode_tier_accounting(self, spark):
+        """JPEG with no codec must surface as a DISTINCT undecodable
+        class — never lumped into the generic fake tier."""
+        from docling_eval_spark.operators.multimodal import (
+            decode_tier_accounting)
+
+        rows = [
+            (1, b"\xff\xd8\xff" + b"jpegbody"),
+            (2, b"\x89PNG" + b"pngbody"),
+            (3, b"P6 1 1 255 x"),
+            (4, b"plain bytes"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "payload"])
+        out = {r.doc_id: (r.mime, r.decode_tier) for r in
+               decode_tier_accounting(df).collect()}
+        assert out[1] == ("image/jpeg", "undecodable")  # no Pillow here
+        assert out[2] == ("image/png", "builtin")
+        assert out[3] == ("image/x-portable-pixmap", "builtin")
+        assert out[4] == ("application/octet-stream", "fake")
+        # native expressions only
+        plan = decode_tier_accounting(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_decode_features_jpeg_honest_nulls(self, spark):
+        """A JPEG payload with no decoder available yields null features
+        (honest failure), not a fake that pretends the image decoded."""
+        from docling_eval_spark.operators.multimodal import (
+            decode_image_features)
+
+        rows = [(1, b"\xff\xd8\xff" + b"jpegbody"),
+                (2, b"not an image at all")]
+        df = spark.createDataFrame(rows, ["doc_id", "payload"])
+        out = {r.doc_id: r for r in decode_image_features(df).collect()}
+        assert out[1].width is None and out[1].mean_luma is None
+        assert out[1].embedding is None
+        assert out[2].width is not None  # generic binary keeps the fake
+
     def test_frame_fanout_counts(self, spark, sf_dir):
         from docling_eval_spark.operators.multimodal import sample_frames
 

@@ -123,3 +123,73 @@ class TestSvgOverlay:
         assert '<rect x="1" y="2"' in content
         assert '<rect x="1.5" y="2.5"' in content
         assert "title 0.90" in content
+
+
+class TestRasterOverlay:
+    def test_overlay_pixels_roundtrip(self):
+        """Verdict-pinned: encode a synthetic page, overlay boxes,
+        decode, and assert the box-edge pixels carry the label color
+        while the interior is untouched."""
+        import numpy as np
+
+        from docling_eval_spark.functions.png_codec import (
+            decode_png, encode_png)
+        from docling_eval_spark.plans.visualize import (
+            _LABEL_COLORS, _hex_rgb, raster_overlay)
+
+        page = np.full((60, 80, 3), 200, dtype=np.uint8)
+        png = encode_png(page)
+        out = raster_overlay(png, [
+            {"label": "table", "l": 10, "t": 12, "r": 40, "b": 30},
+        ], thickness=2)
+        arr = decode_png(out)
+        color = _hex_rgb(_LABEL_COLORS["table"])
+        # edges painted
+        assert tuple(arr[12, 25]) == color      # top edge
+        assert tuple(arr[30, 25]) == color      # bottom edge
+        assert tuple(arr[20, 10]) == color      # left edge
+        assert tuple(arr[20, 40]) == color      # right edge
+        # interior and exterior untouched
+        assert tuple(arr[20, 25]) == (200, 200, 200)
+        assert tuple(arr[5, 5]) == (200, 200, 200)
+
+    def test_overlay_clips_and_promotes_gray(self):
+        import numpy as np
+
+        from docling_eval_spark.functions.png_codec import (
+            decode_png, encode_png)
+        from docling_eval_spark.plans.visualize import raster_overlay
+
+        gray = np.full((20, 20), 255, dtype=np.uint8)
+        out = raster_overlay(encode_png(gray), [
+            {"label": None, "l": -5, "t": -5, "r": 100, "b": 100},
+        ])
+        arr = decode_png(out)
+        assert arr.shape == (20, 20, 3)
+        assert tuple(arr[0, 0]) != (255, 255, 255)   # clipped edge drawn
+
+    def test_visualize_layout_raster_writes_pages(self, spark, tmp_path):
+        import numpy as np
+
+        from docling_eval_spark.functions.png_codec import decode_png
+        from docling_eval_spark.plans.visualize import (
+            _LABEL_COLORS, _hex_rgb, visualize_layout_raster)
+
+        rows = [(1, 100.0, 50.0,
+                 [("title", 5.0, 5.0, 40.0, 20.0, None)],
+                 [("table", 6.0, 6.0, 41.0, 21.0, 0.9)])]
+        schema = ("doc_id bigint, page_width double, page_height double, "
+                  "gt_boxes array<struct<label:string,l:double,t:double,"
+                  "r:double,b:double,score:double>>, "
+                  "pred_boxes array<struct<label:string,l:double,t:double,"
+                  "r:double,b:double,score:double>>")
+        df = spark.createDataFrame(rows, schema)
+        paths = visualize_layout_raster(df, str(tmp_path / "raster"))
+        assert len(paths) == 1 and paths[0].endswith("layout_1.png")
+        arr = decode_png(open(paths[0], "rb").read())
+        # gt half + 2px separator + pred half
+        assert arr.shape == (50, 202, 3)
+        assert tuple(arr[5, 20]) == _hex_rgb(_LABEL_COLORS["title"])
+        assert tuple(arr[6, 102 + 20]) == _hex_rgb(_LABEL_COLORS["table"])
+        assert tuple(arr[25, 100]) == (0, 0, 0)  # separator column
+        assert np.all(arr[40, :50] == 255)       # page stays white

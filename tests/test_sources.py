@@ -35,6 +35,54 @@ class TestBinaryFiles:
         assert df.count() == 1
 
 
+class TestManifestSource:
+    def test_listing_skip_semantics_and_read(self, spark, tmp_path):
+        """Reference S3Source.download_objects parity: directory-marker
+        keys (empty relative path) and zero-size objects are skipped;
+        already-present paths are skipped; everything else is fetched
+        executor-side."""
+        from docling_eval_spark.sources.binary_files import (
+            read_manifest_files)
+
+        prefix = "datasets/train"
+        data = {"a.pdf": b"%PDF-fake", "sub/b.png": b"\x89PNGbody",
+                "c.txt": b"hello", "seen.txt": b"already here"}
+        for rel, body in data.items():
+            p = tmp_path / prefix / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(body)
+        manifest = spark.createDataFrame(
+            [(f"{prefix}/{rel}", len(body)) for rel, body in data.items()]
+            + [(prefix, 0),                    # directory marker
+               (f"{prefix}/empty.bin", 0)],    # zero-size object
+            ["key", "size"])
+        existing = spark.createDataFrame([("seen.txt",)], ["path"])
+
+        out = read_manifest_files(manifest, key_prefix=prefix,
+                                  base_dir=str(tmp_path),
+                                  existing=existing).collect()
+        got = {r.path: r for r in out}
+        assert set(got) == {"a.pdf", "sub/b.png", "c.txt"}
+        assert bytes(got["a.pdf"].content) == b"%PDF-fake"
+        assert got["sub/b.png"].length == len(b"\x89PNGbody")
+        assert got["a.pdf"].mime == "application/pdf"
+        assert got["sub/b.png"].mime == "image/png"
+        # deterministic iteration order (W4)
+        assert [r.path for r in out] == sorted(got)
+
+    def test_pluggable_fetch(self, spark):
+        from docling_eval_spark.sources.binary_files import (
+            read_manifest_files)
+
+        manifest = spark.createDataFrame(
+            [("p/x.bin", 3), ("p/y.bin", 4)], ["key", "size"])
+        out = read_manifest_files(
+            manifest, key_prefix="p",
+            fetch=lambda k: k.encode("utf-8")).collect()
+        assert {r.path: bytes(r.content) for r in out} == {
+            "x.bin": b"p/x.bin", "y.bin": b"p/y.bin"}
+
+
 class TestPagesTable:
     def test_roundtrip_and_pruning(self, spark, sf_dir, tmp_path):
         from docling_eval_spark.corpus.generator import pages_from_documents
