@@ -1476,6 +1476,92 @@ def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classifier_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature quality classifier + GPT-3 appendix-A Pareto
+    importance sampling, fully closed-form: weights w[b] =
+    ((b*37)%64 - 32)/64 over md5-32 feature buckets, so the oracle
+    inlines the weight formula; the Pareto draw re-derives from
+    md5(doc_id:'') and both engines compare ROUND-6 margins."""
+    from docling_eval_spark.operators.webtext import (
+        classifier_score, pareto_importance_sample)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    weights = [((i * 37) % 64 - 32) / 64.0 for i in range(64)]
+    scored = classifier_score(docs, weights)
+    return (pareto_importance_sample(scored)
+            .select("doc_id", "clf_score", "pareto_keep")
+            .orderBy("doc_id"))
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-URL dedup on the canonical key over synthetic raw URLs
+    with every normalization hazard baked in (case, www, default
+    ports, tracking params, param order, trailing slash): doc_id%4
+    in {0,1} collapse to one canonical url per group-of-4, %4==3 is
+    its own key, %4==2 a distinct path. The oracle builds the
+    CANONICAL form closed-form from doc_id arithmetic."""
+    from docling_eval_spark.operators.webtext import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    g = (F.col("doc_id") / 4).cast("long").cast("string")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit("https://WWW.H"), g, F.lit(".example:443/p"), g,
+            F.lit("/?utm_source=a&x=1&b=2")))
+        .when(m == 1, F.concat(
+            F.lit("https://h"), g, F.lit(".example/p"), g,
+            F.lit("?b=2&x=1")))
+        .when(m == 2, F.concat(
+            F.lit("http://h"), g, F.lit(".example:80/p"), g,
+            F.lit("/other")))
+        .otherwise(F.concat(
+            F.lit("https://h"), g, F.lit(".example/p"), g, F.lit("/"))))
+    pages = docs.withColumn("url", raw)
+    return (url_dedup(pages)
+            .select("doc_id", "url_norm", "n_same_url", "url_keep_first")
+            .orderBy("doc_id"))
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-edge round-trip through REAL WARC framing: each Arrow
+    batch of documents becomes one .warc.gz archive (response records,
+    one gzip member each, HTTP/1.1 payloads), warc_records parses the
+    archives back, and every record must surface the exact url,
+    timestamp, and byte-identical body the builder wrote."""
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from docling_eval_spark.sources.warc import build_warc, warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+
+    def gen(it):
+        for pdf in it:
+            recs = [
+                (f"https://w.example/{d}",
+                 datetime.fromtimestamp(int(d) * 60, tz=timezone.utc),
+                 t.encode("utf-8"))
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame({"path": ["batch.warc.gz"],
+                                "content": [build_warc(recs)]})
+
+    archives = docs.mapInPandas(gen, "path string, content binary")
+    return (
+        warc_records(archives)
+        .select(
+            F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint")
+            .alias("doc_id"),
+            F.col("warc_ts").cast("long").alias("ts_epoch"),
+            F.md5("html").alias("body_md5"),
+            F.length("html").cast("bigint").alias("n_bytes"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped frame sampling fan-out: one row per sampled chunk; the
     oracle recomputes the fan-out count from byte lengths."""
@@ -2340,6 +2426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "pack_bpe_sequences": _q_pack_bpe_sequences,
         "payload_mime_counts": _q_payload_mime_counts,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "url_dedup_canonical": _q_url_dedup,
+        "classifier_quality_sample": _q_classifier_sample,
         # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
@@ -3548,6 +3637,44 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(strlen(text) + 4) AS bigint) AS total_bytes, "
             "count(DISTINCT text) AS n_unique, 'image/png' AS mime "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "classifier_quality_sample": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+            "z AS (SELECT doc_id, "
+            "list_sum(list_transform(ws, t -> "
+            "(((('0x' || substr(md5(t), 1, 8))::BIGINT % 64) * 37 % 64) "
+            "- 32) / 64.0)) / len(ws) AS zv FROM w), "
+            "s AS (SELECT doc_id, "
+            "round(1.0 / (1.0 + exp(-zv)), 6) AS clf_score FROM z), "
+            "p AS (SELECT doc_id, clf_score, "
+            "((('0x' || substr(md5(doc_id || ':'), 1, 8))::BIGINT + 1.0) "
+            "/ 4294967296.0) AS u FROM s) "
+            "SELECT doc_id, clf_score, "
+            "round(pow(u, -1.0/9.0) - 1.0 - (1.0 - clf_score), 6) > 0 "
+            "AS pareto_keep FROM p ORDER BY doc_id"
+        ),
+        "url_dedup_canonical": (
+            "WITH p AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m "
+            "FROM documents), "
+            "n AS (SELECT doc_id, CASE "
+            "WHEN m IN (0, 1) THEN 'https://h' || g || '.example/p' || g "
+            "|| '?b=2&x=1' "
+            "WHEN m = 2 THEN 'http://h' || g || '.example/p' || g "
+            "|| '/other' "
+            "ELSE 'https://h' || g || '.example/p' || g END AS url_norm "
+            "FROM p), "
+            "w AS (SELECT url_norm, min(doc_id) AS win, "
+            "count(*) AS n_same_url FROM n GROUP BY url_norm) "
+            "SELECT n.doc_id, n.url_norm, w.n_same_url, "
+            "n.doc_id = w.win AS url_keep_first "
+            "FROM n JOIN w USING (url_norm) ORDER BY n.doc_id"
+        ),
+        "warc_roundtrip": (
+            "SELECT doc_id, doc_id * 60 AS ts_epoch, "
+            "md5(text) AS body_md5, "
+            "cast(strlen(text) AS bigint) AS n_bytes "
+            "FROM documents ORDER BY doc_id"
         ),
         "payload_mime_counts": (
             "WITH p AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'image/jpeg' "

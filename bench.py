@@ -200,6 +200,23 @@ def _run_group(group: str, sf_dir: str, cpus: int) -> None:
     spark.stop()
 
 
+# Quiet-host canary baselines (rounds 1-2 measured 0.24 s single-core on
+# an unloaded box; the 8-process probe pays ~Pool-startup on top). A group
+# whose post-run canary exceeds GATE x baseline ran in a contended window:
+# its numbers measure the neighbors, not the code — retry it, and if the
+# window never clears, say so in the artifact instead of recording
+# incomparable numbers as if they were clean.
+CANARY_BASELINE_SEC = 0.24
+CANARY_MC_BASELINE_SEC = 0.30
+CANARY_GATE = 1.25
+MAX_GROUP_RETRIES = 2
+
+
+def _contended(c1: float, mc: float) -> bool:
+    return (c1 > CANARY_BASELINE_SEC * CANARY_GATE
+            or mc > CANARY_MC_BASELINE_SEC * CANARY_GATE)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -213,22 +230,38 @@ def main() -> None:
     timings: dict[str, float] = {}
     merged: dict[str, object] = {}
     group_canaries: dict[str, float] = {}
+    group_canaries_mc: dict[str, float] = {}
+    retries: dict[str, int] = {}
     for group in ["flagship", *GROUPS]:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--group", group],
-            capture_output=True, text=True, env=os.environ, timeout=1800)
-        line = next(
-            (ln for ln in proc.stdout.splitlines()
-             if ln.startswith("BENCH_PARTIAL ")), None)
-        if line is None:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-            raise RuntimeError(f"bench group {group} produced no result")
-        part = json.loads(line[len("BENCH_PARTIAL "):])
+        # canary-gated: a group bracketed by a hot canary reran in the
+        # hope of a quieter window; the attempt with the quietest canary
+        # is recorded (its timings are the most comparable ones we got)
+        best = None
+        for attempt in range(1 + MAX_GROUP_RETRIES):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--group", group],
+                capture_output=True, text=True, env=os.environ,
+                timeout=1800)
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("BENCH_PARTIAL ")), None)
+            if line is None:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"bench group {group} produced no result")
+            part = json.loads(line[len("BENCH_PARTIAL "):])
+            c1, mc = _canary(), _canary_mc()
+            if best is None or (c1 + mc) < (best[1] + best[2]):
+                best = (part, c1, mc)
+            if not _contended(c1, mc):
+                break
+            if attempt < MAX_GROUP_RETRIES:
+                retries[group] = attempt + 1
+        part, c1, mc = best
         timings.update(part.pop("timings"))
         merged.update(part)
-        # per-group probe: shared-host contention can arrive mid-suite,
-        # which the before/after bracket under-samples (BENCH.md)
-        group_canaries[group] = round(_canary(), 3)
+        group_canaries[group] = c1
+        group_canaries_mc[group] = mc
     canary_after = _canary()
 
     total = round(sum(timings.values()), 3)
@@ -248,7 +281,20 @@ def main() -> None:
         "host_canary_sec": {"before": canary_before, "after": canary_after,
                             "per_group": group_canaries},
         "host_canary_mc_sec": {"before": canary_mc_before,
-                               "after": _canary_mc()},
+                               "after": _canary_mc(),
+                               "per_group": group_canaries_mc},
+        "canary_gate": {
+            "baseline_sec": CANARY_BASELINE_SEC,
+            "mc_baseline_sec": CANARY_MC_BASELINE_SEC,
+            "gate": CANARY_GATE,
+            "retries": retries,
+            # True when some group NEVER got a quiet window despite
+            # retries: its absolute times are not comparable to
+            # quiet-window rounds — read ratios, not absolutes
+            "contended_window": any(
+                _contended(group_canaries[g], group_canaries_mc[g])
+                for g in group_canaries),
+        },
     }
     print(json.dumps(out))
 

@@ -1051,6 +1051,136 @@ def epoch_shuffle(df: DataFrame, key: str = "doc_id", seed: int = 0,
     )
 
 
+def classifier_score(df: DataFrame, weights: list[float],
+                     bias: float = 0.0, text_col: str = "text",
+                     out_col: str = "clf_score") -> DataFrame:
+    """Hashed-feature linear quality classifier — the GPT-3 appendix-A
+    shape (a logistic-regression quality score over hashed bag-of-words
+    features, trained offline; the trained weights plug in here).
+
+    score = sigmoid(bias + mean over tokens of W[md5_32(token) % D])
+
+    Feature hashing uses the first 8 hex chars of md5 (engine-portable:
+    DuckDB parses the same bucket with ('0x'||substr(md5,1,8))::BIGINT),
+    mod D = len(weights). The weight vector ships as ONE array literal
+    and the lookup runs inside higher-order functions — scan speed, no
+    explode, no join, no shuffle; at 10^12 docs this is a free column.
+    For D beyond a few thousand switch to a broadcast map join; the
+    array-literal plan grows with D."""
+    d = len(weights)
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = _words(F.col(text_col))
+    total = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                w_arr,
+                (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                 .cast("long") % d + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    z = F.lit(float(bias)) + total / F.size(toks)
+    return df.withColumn(
+        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))
+
+
+def pareto_importance_sample(df: DataFrame, score_col: str = "clf_score",
+                             key: str = "doc_id", alpha: float = 9.0,
+                             salt: str = "", out_col: str = "pareto_keep"
+                             ) -> DataFrame:
+    """GPT-3 appendix-A importance sampling, made deterministic: the
+    published rule keeps a document when
+        (1 - score) < numpy.random.pareto(alpha)
+    so high-score docs are almost always kept and low-score docs
+    survive with a heavy-tailed probability (the corpus keeps SOME
+    low-quality mass — cutting it entirely skews the distribution).
+    The Pareto draw is re-derived from the document key via inverse-
+    transform sampling, u^(-1/alpha) - 1 with u = md5_32(key:salt)/2^32
+    — reproducible across engines, partitionings, and restarts, and
+    re-drawable per epoch via `salt`.
+
+    The keep decision compares ROUND-6 margins so the oracle's libm and
+    the JVM's Math.pow can never disagree at the boundary."""
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{salt}"))),
+        1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(2.0 ** 32)
+    pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    margin = F.round(pareto - (F.lit(1.0) - F.col(score_col)), 6)
+    return df.withColumn(out_col, margin > 0)
+
+
+TRACKING_PARAMS_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_[^=]*)(=|$)"
+
+
+def normalize_url(df: DataFrame, url_col: str = "url",
+                  out_col: str = "url_norm",
+                  tracking_re: str = TRACKING_PARAMS_RE) -> DataFrame:
+    """URL canonicalization for exact-URL dedup (RefinedWeb runs URL
+    dedup before any content pass; recrawl collapse joins on this key).
+    Pure native expressions — runs at scan speed over 10^12 rows:
+
+      * scheme and host lowercased; a leading 'www.' dropped
+      * default ports stripped (:80 for http, :443 for https)
+      * the fragment dropped
+      * tracking query params removed (utm_*, gclid, fbclid, msclkid,
+        ref, mc_*), the survivors SORTED so param order never splits a
+        URL into two keys; an emptied query drops its '?'
+      * a trailing slash on a non-root path dropped; an empty path
+        becomes '/'
+
+    Non-http(s) or unparseable URLs pass through unchanged (dedup on
+    the raw string beats corrupting it)."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept_params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(tracking_re)))
+    qnorm = F.when(F.size(kept_params) > 0,
+                   F.concat(F.lit("?"), F.array_join(kept_params, "&"))
+                   ).otherwise(F.lit(""))
+    parseable = u.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+")
+    tmp = (df
+           .withColumn("_h", F.regexp_replace(
+               F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1)),
+               r"^www\.", ""))
+           .withColumn("_h", F.when(
+               (scheme == "http") & F.col("_h").endswith(":80"),
+               F.expr("substring(_h, 1, length(_h) - 3)"))
+               .when((scheme == "https") & F.col("_h").endswith(":443"),
+                     F.expr("substring(_h, 1, length(_h) - 4)"))
+               .otherwise(F.col("_h")))
+           .withColumn("_p", F.regexp_extract(
+               u, r"^[^:]+://[^/?#]+([^?#]*)", 1))
+           .withColumn("_p", F.when(F.col("_p") == "", F.lit("/"))
+                       .otherwise(F.col("_p")))
+           .withColumn("_p", F.when(
+               (F.length("_p") > 1) & F.col("_p").endswith("/"),
+               F.expr("substring(_p, 1, length(_p) - 1)"))
+               .otherwise(F.col("_p"))))
+    return (tmp.withColumn(
+        out_col,
+        F.when(parseable,
+               F.concat(scheme, F.lit("://"), F.col("_h"),
+                        F.col("_p"), qnorm))
+        .otherwise(u))
+        .drop("_h", "_p"))
+
+
+def url_dedup(df: DataFrame, key: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """Exact-URL dedup on the canonical key: one row per input document
+    with its url_norm, the canonical-group size, and url_keep_first
+    (true iff this document has the smallest key of its group — the
+    deterministic survivor). Plain hash groupBy + broadcast-free join
+    back on the 8-byte min key: the same scale shape as exact_dedup."""
+    normed = normalize_url(df, url_col=url_col)
+    groups = normed.groupBy("url_norm").agg(
+        F.min(key).alias("_win"), F.count_if(F.lit(True)).alias("n_same_url"))
+    return (normed.join(groups, "url_norm")
+            .withColumn("url_keep_first", F.col(key) == F.col("_win"))
+            .drop("_win"))
+
+
 def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Extract the registrable host from a URL column with the built-in
     parse_url (Catalyst expression, codegen-friendly)."""

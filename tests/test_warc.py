@@ -1,0 +1,105 @@
+"""WARC source: framing round-trip, HTTP payload parsing, torn-record
+accounting, and the archive -> extraction-pipeline integration."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+
+
+def _dt(s: int):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+class TestParseWarc:
+    def test_roundtrip_gzip_and_plain(self):
+        from docling_eval_spark.sources.warc import build_warc, parse_warc
+
+        recs = [("https://a.example/1", _dt(60), b"<html>one</html>"),
+                ("https://a.example/2", _dt(120), b"<html>two</html>")]
+        for gz in (True, False):
+            blob = build_warc(recs, gzip_members=gz)
+            got, bad = parse_warc(blob)
+            assert bad == 0 and len(got) == 2
+            for (url, ts, body), r in zip(recs, got):
+                assert r["rec_type"] == "response"
+                assert r["url"] == url and r["warc_ts"] == ts
+                assert r["http_status"] == 200
+                assert r["mime"] == "text/html"
+                assert r["body"] == body
+
+    def test_gzip_members_are_individually_compressed(self):
+        # the .warc.gz contract: one gzip member per record (seekable
+        # archives); the blob must decompress as a multi-member stream
+        from docling_eval_spark.sources.warc import build_warc
+
+        blob = build_warc([("u1", _dt(0), b"x"), ("u2", _dt(1), b"y")])
+        assert blob.count(b"\x1f\x8b\x08") >= 2
+        assert b"u1" in gzip.decompress(blob)
+
+    def test_malformed_records_counted_not_raised(self):
+        from docling_eval_spark.sources.warc import build_warc, parse_warc
+
+        good = build_warc([("https://ok", _dt(9), b"fine")],
+                          gzip_members=False)
+        torn = b"GARBAGE NOT A RECORD\r\n" + good \
+            + b"WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort"
+        got, bad = parse_warc(torn)
+        assert len(got) == 1 and got[0]["url"] == "https://ok"
+        assert bad == 2  # leading garbage + truncated trailer
+
+    def test_non_response_records_kept_with_raw_block(self):
+        from docling_eval_spark.sources.warc import parse_warc
+
+        rec = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+               b"Content-Type: application/warc-fields\r\n"
+               b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n")
+        got, bad = parse_warc(rec)
+        assert bad == 0 and got[0]["rec_type"] == "warcinfo"
+        assert got[0]["body"] == b"robots: x"
+        assert got[0]["url"] is None and got[0]["http_status"] is None
+
+
+class TestWarcRecordsSpark:
+    def test_binaryfile_to_rows(self, spark, tmp_path):
+        from docling_eval_spark.sources.binary_files import read_binary_files
+        from docling_eval_spark.sources.warc import build_warc, warc_records
+
+        for shard in range(2):
+            recs = [(f"https://s{shard}.example/{i}", _dt(shard * 100 + i),
+                     f"<p>doc {shard}-{i}</p>".encode())
+                    for i in range(3)]
+            (tmp_path / f"shard{shard}.warc.gz").write_bytes(
+                build_warc(recs))
+        files = read_binary_files(spark, str(tmp_path))
+        rows = warc_records(files).collect()
+        assert len(rows) == 6
+        got = {r.url: r for r in rows}
+        assert bytes(got["https://s1.example/2"].html) == b"<p>doc 1-2</p>"
+        assert all(r.n_malformed == 0 for r in rows)
+        assert all(r.http_status == 200 for r in rows)
+
+    def test_warc_to_extraction_byte_identical(self, spark, tmp_path):
+        """The ingestion edge feeds the flagship extractor: archive ->
+        (url, warc_ts, html) -> extract_pages, and the extracted main
+        text must byte-match the content the page was built around."""
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.extraction.extract import extract_pages
+        from docling_eval_spark.sources.binary_files import read_binary_files
+        from docling_eval_spark.sources.warc import build_warc, warc_records
+
+        body = ("<html><body><nav><a href='/'>home</a> <a href='/x'>x"
+                "</a></nav><div><p>" + "real content words " * 30
+                + "</p></div></body></html>").encode()
+        (tmp_path / "one.warc.gz").write_bytes(
+            build_warc([("https://w.example/p", _dt(7), body)]))
+        pages = warc_records(
+            read_binary_files(spark, str(tmp_path))).select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            "url", "html",
+            F.lit("en").alias("lang"), F.lit("").alias("text"))
+        out = extract_pages(pages).collect()
+        assert len(out) == 1
+        assert "real content words" in out[0].extracted_text
+        assert "home" not in out[0].extracted_text  # nav is boilerplate

@@ -182,6 +182,98 @@ def test_domain_rollup_salted_matches_unsalted(spark, sf_dir):
     assert plain == salted and len(plain) == 7
 
 
+def test_classifier_score_hand_computed(spark):
+    import hashlib
+    import math
+
+    from docling_eval_spark.operators.webtext import classifier_score
+
+    weights = [((i * 37) % 64 - 32) / 64.0 for i in range(64)]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    rows = [(1, "alpha beta"), (2, "alpha"), (3, "x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.clf_score for r in
+           classifier_score(df, weights).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        z = sum(weights[bucket(t)] for t in toks) / len(toks)
+        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert out[doc_id] == pytest.approx(want, abs=1e-6), (text, z)
+
+
+def test_pareto_importance_sample_published_rule(spark):
+    import hashlib
+
+    from docling_eval_spark.operators.webtext import (
+        pareto_importance_sample)
+
+    rows = [(i, 0.02 * (i % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "clf_score"])
+    out = {r.doc_id: r.pareto_keep for r in
+           pareto_importance_sample(df).collect()}
+
+    def expect(doc_id, score):
+        u = (int(hashlib.md5(f"{doc_id}:".encode()).hexdigest()[:8], 16)
+             + 1.0) / 2.0 ** 32
+        return round(u ** (-1 / 9.0) - 1 - (1 - score), 6) > 0
+
+    assert out == {i: expect(i, s) for i, s in rows}
+    kept = sum(out.values())
+    assert 0 < kept < len(rows)   # heavy tail: some low scores survive
+    # high scores are kept near-always, low scores rarely
+    # alpha=9: P(keep | score s) = (2 - s)^-9 — ~0.65 at s=0.95,
+    # ~0.003 at s=0.05; the sampler preserves a heavy-tailed remnant
+    hi = [out[i] for i, s in rows if s > 0.9]
+    lo = [out[i] for i, s in rows if s < 0.1]
+    assert sum(hi) / len(hi) > 0.5 and sum(lo) / len(lo) < 0.1
+    # per-epoch redraw via salt changes the decision set
+    other = {r.doc_id: r.pareto_keep for r in
+             pareto_importance_sample(df, salt="epoch2").collect()}
+    assert other != out
+
+
+def test_normalize_url_canonical_forms(spark):
+    from docling_eval_spark.operators.webtext import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?b=2&utm_source=x&a=1#frag",
+         "http://example.com/Path?a=1&b=2"),
+        ("https://site.org:443/", "https://site.org/"),
+        ("https://site.org", "https://site.org/"),
+        ("https://a.b/x/", "https://a.b/x"),
+        ("https://a.b/x?utm_campaign=z&fbclid=1", "https://a.b/x"),
+        ("https://a.b/x?b=1&a=2", "https://a.b/x?a=2&b=1"),
+        ("https://a.b/x?xref=3&ref=4", "https://a.b/x?xref=3"),
+        ("ftp://x.example/y", "ftp://x.example/y"),      # untouched
+        ("not a url", "not a url"),                      # untouched
+        ("https://a.b:8080/x", "https://a.b:8080/x"),    # real port kept
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["doc_id", "url"])
+    out = {r.doc_id: r.url_norm for r in normalize_url(df).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert out[i] == want, (raw, out[i], want)
+
+
+def test_url_dedup_groups_and_survivor(spark):
+    from docling_eval_spark.operators.webtext import url_dedup
+
+    rows = [
+        (1, "https://www.a.example/p?utm_source=x&k=1"),
+        (2, "https://A.example/p/?k=1"),     # same canonical as 1
+        (3, "https://a.example/p?k=2"),      # different query survives
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert out[1].url_norm == out[2].url_norm == "https://a.example/p?k=1"
+    assert out[1].n_same_url == 2 and out[1].url_keep_first
+    assert not out[2].url_keep_first
+    assert out[3].n_same_url == 1 and out[3].url_keep_first
+
+
 def test_with_domain_parses_host(spark):
     df = spark.createDataFrame(
         [(1, "https://sub.host.example/path/x?q=1")], ["doc_id", "url"])
