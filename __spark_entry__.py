@@ -2416,10 +2416,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified, (4) then the rest. Under this rotation every registry
     entry carries a driver hash row at most two rounds old.
 
-    Round-4 instance: slots 1-45 are the 45 entries whose last driver
-    row is CORRECTNESS_r02.json; slots 46-50 are r3-verified entries
-    whose operators changed in round 4; the r3-verified remainder waits
-    (full local oracle sweeps still cover all 95 every round).
+    Round-4 instance: slots 1-6 are the queries NEW this round (never
+    driver-verified: BPE counting/packing, payload mime accounting,
+    WARC round-trip, canonical URL dedup, classifier sampling); the
+    next 44 slots are entries whose last driver row is
+    CORRECTNESS_r02.json; just past the window sit the one remaining
+    r02-era entry and five r3-verified entries whose operators changed
+    this round — all six re-verified locally through tools/
+    check_oracle.py this round, and first in line for round 5 (full
+    local oracle sweeps still cover the whole registry every round).
     """
     return {
         # --- slots 1-2: NEW in round 4, never driver-verified ---
