@@ -1476,6 +1476,158 @@ def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_COLS = [
+    "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+    "dup_para_char_frac", "top2gram_char_frac", "top3gram_char_frac",
+    "top4gram_char_frac", "dup5gram_char_frac", "dup6gram_char_frac",
+    "dup7gram_char_frac", "dup8gram_char_frac", "dup9gram_char_frac",
+    "dup10gram_char_frac",
+]
+
+
+def _q_gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete 13-threshold Gopher repetition rule set over a
+    deterministic line/paragraph fixture (2-word lines, 2-line
+    paragraphs rebuilt from the word stream); the oracle re-derives
+    every fraction — including the overlap-aware duplicate-n-gram
+    character coverage for n=5..10 — from the same construction."""
+    from docling_eval_spark.operators.webtext import full_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    ws = F.split(F.trim("text"), r"\s+")
+    docs = docs.withColumn("_w", ws)
+    w = F.col("_w")
+    nl = F.ceil(F.size(w) / 2.0).cast("int")
+    lines = F.transform(F.sequence(F.lit(0), nl - 1),
+                        lambda j: F.concat_ws(" ", F.slice(w, j * 2 + 1, 2)))
+    docs = docs.withColumn("_l", lines)
+    ll = F.col("_l")
+    np_ = F.ceil(F.size(ll) / 2.0).cast("int")
+    paras = F.transform(F.sequence(F.lit(0), np_ - 1),
+                        lambda p: F.concat_ws("\n", F.slice(ll, p * 2 + 1, 2)))
+    fixture = docs.select(
+        "doc_id", F.concat_ws("\n\n", paras).alias("text"))
+    out = full_repetition_stats(fixture)
+    return out.select("doc_id", *_REP_COLS,
+                      "gopher_repetition_pass").orderBy("doc_id")
+
+
+def _gopher_repetition_oracle() -> str:
+    """DuckDB twin of _q_gopher_repetition_full, generated rule by rule."""
+    from docling_eval_spark.operators.webtext import (
+        GOPHER_REPETITION_THRESHOLDS)
+
+    ctes = [
+        ("w", "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
+              "FROM documents"),
+        ("wc", "SELECT doc_id, cast(list_sum(list_transform(ws, "
+               "x -> strlen(x))) AS double) AS word_chars FROM w"),
+        ("b", "SELECT doc_id, ws, list_transform("
+              "range(0, cast(ceil(len(ws) / 2.0) AS bigint)), "
+              "j -> array_to_string(ws[cast(j*2+1 AS int):"
+              "cast(j*2+2 AS int)], ' ')) AS lines FROM w"),
+        ("b2", "SELECT doc_id, lines, list_transform("
+               "range(0, cast(ceil(len(lines) / 2.0) AS bigint)), "
+               "p -> array_to_string(lines[cast(p*2+1 AS int):"
+               "cast(p*2+2 AS int)], chr(10))) AS paras FROM b"),
+    ]
+    for unit, src in (("line", "lines"), ("para", "paras")):
+        ctes.append((f"{unit}c",
+                     f"SELECT doc_id, u, count(*) AS cnt FROM "
+                     f"(SELECT doc_id, unnest({src}) AS u FROM b2) "
+                     f"WHERE strlen(u) > 0 GROUP BY doc_id, u"))
+        ctes.append((f"{unit}s",
+                     f"SELECT doc_id, "
+                     f"round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) "
+                     f"/ cast(sum(cnt) AS double), 6) AS dup_{unit}_frac, "
+                     f"round(sum(CASE WHEN cnt > 1 THEN cnt * strlen(u) "
+                     f"ELSE 0 END) / cast(sum(cnt * strlen(u)) AS double), "
+                     f"6) AS dup_{unit}_char_frac FROM {unit}c "
+                     f"GROUP BY doc_id"))
+    for n in (2, 3, 4):
+        ctes.append((f"g{n}",
+                     f"SELECT doc_id, array_to_string(ws[cast(i+1 AS int):"
+                     f"cast(i+{n} AS int)], ' ') AS gram FROM "
+                     f"(SELECT doc_id, ws, unnest(range(0, "
+                     f"len(ws) - {n} + 1)) AS i FROM w)"))
+        ctes.append((f"t{n}",
+                     f"SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, "
+                     f"count(*) AS cnt, row_number() OVER (PARTITION BY "
+                     f"doc_id ORDER BY count(*) DESC, gram ASC) AS rn "
+                     f"FROM g{n} GROUP BY doc_id, gram) WHERE rn = 1"))
+        ctes.append((f"tf{n}",
+                     f"SELECT t{n}.doc_id, round(cnt * strlen(replace("
+                     f"gram, ' ', '')) / word_chars, 6) "
+                     f"AS top{n}gram_char_frac FROM t{n} "
+                     f"JOIN wc ON wc.doc_id = t{n}.doc_id"))
+    for n in (5, 6, 7, 8, 9, 10):
+        ctes.append((f"gp{n}",
+                     f"SELECT doc_id, i, array_to_string(ws[cast(i+1 AS "
+                     f"int):cast(i+{n} AS int)], ' ') AS gram FROM "
+                     f"(SELECT doc_id, ws, unnest(range(0, "
+                     f"len(ws) - {n} + 1)) AS i FROM w)"))
+        ctes.append((f"d{n}",
+                     f"SELECT doc_id, gram FROM gp{n} "
+                     f"GROUP BY doc_id, gram HAVING count(*) > 1"))
+        ctes.append((f"cv{n}",
+                     f"SELECT DISTINCT doc_id, idx FROM (SELECT g.doc_id, "
+                     f"unnest(range(g.i, g.i + {n})) AS idx FROM gp{n} g "
+                     f"JOIN d{n} d ON d.doc_id = g.doc_id "
+                     f"AND d.gram = g.gram)"))
+        ctes.append((f"cf{n}",
+                     f"SELECT c.doc_id, sum(strlen(ws[cast(c.idx + 1 AS "
+                     f"int)])) AS cov FROM cv{n} c JOIN w "
+                     f"ON w.doc_id = c.doc_id GROUP BY c.doc_id"))
+    sel = ["w.doc_id", "lines.dup_line_frac", "lines.dup_line_char_frac",
+           "paras.dup_para_frac", "paras.dup_para_char_frac"]
+    joins = ["w", "LEFT JOIN wc ON wc.doc_id = w.doc_id",
+             "LEFT JOIN lines ON lines.doc_id = w.doc_id",
+             "LEFT JOIN paras ON paras.doc_id = w.doc_id"]
+    for n in (2, 3, 4):
+        joins.append(f"LEFT JOIN tf{n} ON tf{n}.doc_id = w.doc_id")
+        sel.append(f"tf{n}.top{n}gram_char_frac")
+    for n in (5, 6, 7, 8, 9, 10):
+        joins.append(f"LEFT JOIN cf{n} ON cf{n}.doc_id = w.doc_id")
+        sel.append(f"round(coalesce(cf{n}.cov, 0) / wc.word_chars, 6) "
+                   f"AS dup{n}gram_char_frac")
+    fails = " OR ".join(
+        f"coalesce({_rep_sql_ref(col)}, 0) > {thr}"
+        for col, thr in GOPHER_REPETITION_THRESHOLDS.items())
+    sel.append(f"NOT ({fails}) AS gopher_repetition_pass")
+    body = ", ".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (f"WITH {body} SELECT {', '.join(sel)} FROM "
+            f"{' '.join(joins)} ORDER BY w.doc_id")
+
+
+def _rep_sql_ref(col: str) -> str:
+    """SQL expression for a repetition fraction inside the pass flag."""
+    if col.startswith("dup_line"):
+        return f"lines.{col}"
+    if col.startswith("dup_para"):
+        return f"paras.{col}"
+    if col.startswith("top"):
+        n = col[3]
+        return f"tf{n}.{col}"
+    n = col[3:col.index("gram")]
+    return f"round(coalesce(cf{n}.cov, 0) / wc.word_chars, 6)"
+
+
+def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment rollup per lang: the
+    oracle replays the md5 cumulative-fraction ladder."""
+    from docling_eval_spark.operators.webtext import assign_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    split = assign_split(docs, fracs=[("train", 0.8), ("val", 0.1),
+                                      ("test", 0.1)])
+    return (split.groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang", "split"))
+
+
 def _q_classifier_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature quality classifier + GPT-3 appendix-A Pareto
     importance sampling, fully closed-form: weights w[b] =
@@ -2434,6 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "url_dedup_canonical": _q_url_dedup,
         "classifier_quality_sample": _q_classifier_sample,
+        "gopher_repetition_full": _q_gopher_repetition_full,
+        "train_split_assign": _q_assign_split,
         # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
@@ -3642,6 +3796,17 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(strlen(text) + 4) AS bigint) AS total_bytes, "
             "count(DISTINCT text) AS n_unique, 'image/png' AS mime "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "gopher_repetition_full": _gopher_repetition_oracle(),
+        "train_split_assign": (
+            "WITH s AS (SELECT doc_id, lang, CASE WHEN u < 0.8 THEN "
+            "'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, lang, "
+            "('0x' || substr(md5(doc_id || ':'), 1, 8))::BIGINT "
+            "/ 4294967296.0 AS u FROM documents)) "
+            "SELECT lang, split, count(*) AS n_docs, "
+            "min(doc_id) AS first_doc FROM s "
+            "GROUP BY lang, split ORDER BY lang, split"
         ),
         "classifier_quality_sample": (
             "WITH w AS (SELECT doc_id, "

@@ -360,6 +360,182 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
     return line_stats.join(top_frac, key)
 
 
+def assign_split(df: DataFrame, key: str = "doc_id",
+                 fracs: "list[tuple[str, float]] | None" = None,
+                 salt: str = "", out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: u = md5_32(key:salt) /
+    2^32 walks the cumulative fraction ladder, so membership is a pure
+    function of the key — stable across engines, partitionings,
+    reruns, and corpus growth (a document never migrates between
+    splits when other documents arrive; the property random splits
+    lose). Fractions are ordered (name, frac) pairs summing to <= 1;
+    any remainder falls into the LAST split. Scan-speed native
+    expressions; nested subsetting composes with hash_sample because
+    both draw from the same md5 uniform only when salts differ — use
+    distinct salts for independent draws."""
+    fracs = fracs or [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{salt}"))),
+        1, 8), 16, 10).cast("double")) / F.lit(2.0 ** 32)
+    expr = None
+    acc = 0.0
+    for name, frac in fracs[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(fracs[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def _ngrams_expr(words, n: int):
+    """Word n-grams as a space-joined string array column (empty when
+    the document has fewer than n words)."""
+    if n == 1:
+        return words
+    return F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda w, i: F.concat_ws(" ", F.array(
+            *([w] + [F.element_at(words, i + k + 1) for k in range(1, n)]))),
+    )
+
+
+def _dup_unit_stats(df: DataFrame, key: str, text_col: str, sep: str,
+                    unit: str) -> DataFrame:
+    """(key, dup_<unit>_frac, dup_<unit>_char_frac) for duplicate lines
+    or paragraphs within one document — the shuffle key is (document,
+    unit text), never corpus-wide."""
+    units = (
+        df.select(key, F.explode(F.split(F.col(text_col), sep))
+                  .alias("u"))
+        .where(F.length("u") > 0)
+    )
+    counts = units.groupBy(key, "u").agg(
+        F.count_if(F.lit(True)).alias("cnt"))
+    return counts.groupBy(key).agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double"), 6).alias(f"dup_{unit}_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1,
+                         F.col("cnt") * F.length("u")).otherwise(0))
+            / F.sum(F.col("cnt") * F.length("u")).cast("double"), 6
+        ).alias(f"dup_{unit}_char_frac"),
+    )
+
+
+def _top_ngram_frac(df: DataFrame, key: str, n: int) -> DataFrame:
+    """(key, top{n}gram_char_frac): characters covered by the most
+    frequent word n-gram (count x non-space gram chars / word chars);
+    ties break to the lexicographically smallest gram. Expects the
+    pre-split frame (key, _ww, word_chars)."""
+    words = F.col("_ww")
+    gram_counts = (
+        df.select(key, F.explode(_ngrams_expr(words, n)).alias("gram"))
+        .groupBy(key, "gram").agg(F.count_if(F.lit(True)).alias("cnt"))
+    )
+    top = gram_counts.groupBy(key).agg(
+        F.max("cnt").alias("_tc"),
+        F.min_by(F.col("gram"), F.struct(
+            (-F.col("cnt")).alias("neg"), F.col("gram"))).alias("_tg"),
+    )
+    return (
+        top.join(df.select(key, "word_chars"), key)
+        .select(
+            key,
+            F.round(F.col("_tc")
+                    * F.length(F.regexp_replace("_tg", " ", ""))
+                    / F.col("word_chars").cast("double"), 6)
+            .alias(f"top{n}gram_char_frac"))
+    )
+
+
+def _dup_ngram_coverage(df: DataFrame, key: str, n: int) -> DataFrame:
+    """(key, dup{n}gram_char_frac): fraction of word characters inside
+    ANY occurrence of an n-gram that repeats within the document —
+    overlapping occurrences counted once (union of covered word
+    positions, the published Gopher definition). Expects (key, _ww,
+    word_chars). Per-document keys only; linear in documents."""
+    words = F.col("_ww")
+    occ = df.select(
+        key, F.posexplode(_ngrams_expr(words, n)).alias("i", "gram"))
+    dup = occ.groupBy(key, "gram").agg(
+        F.count_if(F.lit(True)).alias("cnt")).where(F.col("cnt") > 1)
+    covered = (
+        occ.join(dup.select(key, "gram"), [key, "gram"])
+        .select(key, F.explode(
+            F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("idx"))
+        .distinct()
+    )
+    cov_chars = (
+        covered.join(df.select(key, "_ww"), key)
+        .select(key, F.length(
+            F.element_at(F.col("_ww"), F.col("idx") + 1)).alias("wl"))
+        .groupBy(key).agg(F.sum("wl").alias("_cov"))
+    )
+    return (
+        df.select(key, "word_chars").join(cov_chars, key, "left")
+        .select(key, F.round(
+            F.coalesce(F.col("_cov"), F.lit(0))
+            / F.col("word_chars").cast("double"), 6)
+            .alias(f"dup{n}gram_char_frac"))
+    )
+
+
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top2gram_char_frac": 0.20, "top3gram_char_frac": 0.18,
+    "top4gram_char_frac": 0.16,
+    "dup5gram_char_frac": 0.15, "dup6gram_char_frac": 0.14,
+    "dup7gram_char_frac": 0.13, "dup8gram_char_frac": 0.12,
+    "dup9gram_char_frac": 0.11, "dup10gram_char_frac": 0.10,
+}
+
+
+def full_repetition_stats(df: DataFrame, key: str = "doc_id",
+                          text_col: str = "text", line_sep: str = "\n",
+                          para_sep: str = "\n\n",
+                          thresholds: dict[str, float] | None = None
+                          ) -> DataFrame:
+    """The COMPLETE Gopher repetition rule set (Rae et al. 2021, A1.1,
+    all 13 published thresholds): duplicate line/paragraph fractions
+    (row and character), top-{2,3,4}-gram character fractions, and
+    duplicate-{5..10}-gram character coverage (overlap-aware union of
+    covered positions), plus `gopher_repetition_pass` — false when ANY
+    fraction exceeds its threshold.
+
+    Plan shape: ONE word-split projection persists per document and
+    every gram pass reuses it; all shuffles are keyed by (document,
+    unit) then document — per-document work only, linear in corpus
+    size, no corpus-wide hot key. The 13-way join fan-in is per-doc
+    k-row frames, broadcast-free inner/left joins on the document key.
+    """
+    thresholds = dict(GOPHER_REPETITION_THRESHOLDS, **(thresholds or {}))
+    split = df.select(
+        key, _words(F.col(text_col)).alias("_ww"),
+        F.col(text_col).alias("_t"))
+    split = split.withColumn(
+        "word_chars",
+        F.aggregate(F.transform(F.col("_ww"), F.length), F.lit(0),
+                    lambda acc, x: acc + x))
+    out = _dup_unit_stats(split.select(key, F.col("_t")), key, "_t",
+                          line_sep, "line")
+    out = out.join(
+        _dup_unit_stats(split.select(key, F.col("_t")), key, "_t",
+                        para_sep, "para"), key, "full")
+    for n in (2, 3, 4):
+        out = out.join(_top_ngram_frac(split, key, n), key, "full")
+    for n in (5, 6, 7, 8, 9, 10):
+        out = out.join(_dup_ngram_coverage(split, key, n), key, "full")
+    cond = None
+    for col, thr in thresholds.items():
+        bad = F.coalesce(F.col(col), F.lit(0.0)) > thr
+        cond = bad if cond is None else (cond | bad)
+    return out.withColumn("gopher_repetition_pass", ~cond)
+
+
 C4_TERMINAL_RE = '[.!?"]$'
 
 

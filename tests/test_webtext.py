@@ -182,6 +182,125 @@ def test_domain_rollup_salted_matches_unsalted(spark, sf_dir):
     assert plain == salted and len(plain) == 7
 
 
+def test_assign_split_deterministic_and_stable(spark):
+    import hashlib
+
+    from docling_eval_spark.operators.webtext import assign_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = {r.doc_id: r.split for r in assign_split(df, fracs=fr).collect()}
+
+    def expect(i):
+        u = int(hashlib.md5(f"{i}:".encode()).hexdigest()[:8], 16) / 2 ** 32
+        return "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+
+    assert out == {i: expect(i) for i in range(2000)}
+    # rough proportions
+    n_train = sum(1 for s in out.values() if s == "train")
+    assert 0.75 < n_train / 2000 < 0.85
+    # growth stability: a smaller corpus assigns the SAME splits
+    sub = {r.doc_id: r.split for r in assign_split(
+        df.where("doc_id < 500"), fracs=fr).collect()}
+    assert all(out[i] == sub[i] for i in sub)
+    # distinct salt = independent draw
+    other = {r.doc_id: r.split for r in assign_split(
+        df, fracs=fr, salt="s2").collect()}
+    assert other != out
+
+
+def _py_full_repetition(text, line_sep="\n", para_sep="\n\n"):
+    """Pure-Python reference for the 13 Gopher repetition fractions."""
+    from collections import Counter
+
+    def unit_stats(sep):
+        units = [u for u in text.split(sep) if u]
+        c = Counter(units)
+        tot = sum(c.values())
+        tot_ch = sum(n * len(u) for u, n in c.items())
+        dup = sum(n for n in c.values() if n > 1)
+        dup_ch = sum(n * len(u) for u, n in c.items() if n > 1)
+        if tot == 0:
+            return None, None
+        return round(dup / tot, 6), round(dup_ch / tot_ch, 6)
+
+    words = text.split()
+    wchars = sum(len(w) for w in words)
+    out = {}
+    out["dup_line_frac"], out["dup_line_char_frac"] = unit_stats(line_sep)
+    out["dup_para_frac"], out["dup_para_char_frac"] = unit_stats(para_sep)
+    for n in (2, 3, 4):
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        key = f"top{n}gram_char_frac"
+        if not grams:
+            out[key] = None
+            continue
+        c = Counter(grams)
+        top = min(c, key=lambda g: (-c[g], g))
+        out[key] = round(c[top] * len(top.replace(" ", "")) / wchars, 6)
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        key = f"dup{n}gram_char_frac"
+        if not grams:
+            out[key] = None
+            continue
+        c = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        out[key] = round(
+            sum(len(words[i]) for i in covered) / wchars, 6)
+    return out
+
+
+def test_full_repetition_stats_matches_python_reference(spark):
+    import random
+
+    from docling_eval_spark.operators.webtext import (
+        GOPHER_REPETITION_THRESHOLDS, full_repetition_stats)
+
+    rng = random.Random(11)
+    vocab = ["aa", "bbb", "c", "dddd", "ee"]
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(12, 60))]
+        if i % 3 == 0:   # inject heavy repetition
+            words = words[:8] * rng.randint(2, 4)
+        lines = [" ".join(words[j:j + 3])
+                 for j in range(0, len(words), 3)]
+        paras = ["\n".join(lines[k:k + 2])
+                 for k in range(0, len(lines), 2)]
+        rows.append((i, "\n\n".join(paras)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.asDict() for r in
+           full_repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        want = _py_full_repetition(text)
+        for col, val in want.items():
+            g = got[doc_id][col]
+            assert (g is None and val is None) or \
+                g == pytest.approx(val, abs=1e-6), (doc_id, col, g, val)
+        fail = any((want[c] or 0.0) > t
+                   for c, t in GOPHER_REPETITION_THRESHOLDS.items())
+        assert got[doc_id]["gopher_repetition_pass"] == (not fail), doc_id
+
+
+def test_full_repetition_pass_thresholds(spark):
+    from docling_eval_spark.operators.webtext import full_repetition_stats
+
+    clean = " ".join(f"w{i}" for i in range(40))
+    spam = "\n\n".join(["the same paragraph here"] * 6)
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in full_repetition_stats(df).collect()}
+    assert out[1].gopher_repetition_pass
+    assert not out[2].gopher_repetition_pass
+    assert out[2].dup_para_frac == 1.0
+
+
 def test_classifier_score_hand_computed(spark):
     import hashlib
     import math
