@@ -401,88 +401,6 @@ def _ngrams_expr(words, n: int):
     )
 
 
-def _dup_unit_stats(df: DataFrame, key: str, text_col: str, sep: str,
-                    unit: str) -> DataFrame:
-    """(key, dup_<unit>_frac, dup_<unit>_char_frac) for duplicate lines
-    or paragraphs within one document — the shuffle key is (document,
-    unit text), never corpus-wide."""
-    units = (
-        df.select(key, F.explode(F.split(F.col(text_col), sep))
-                  .alias("u"))
-        .where(F.length("u") > 0)
-    )
-    counts = units.groupBy(key, "u").agg(
-        F.count_if(F.lit(True)).alias("cnt"))
-    return counts.groupBy(key).agg(
-        F.round(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-            / F.sum("cnt").cast("double"), 6).alias(f"dup_{unit}_frac"),
-        F.round(
-            F.sum(F.when(F.col("cnt") > 1,
-                         F.col("cnt") * F.length("u")).otherwise(0))
-            / F.sum(F.col("cnt") * F.length("u")).cast("double"), 6
-        ).alias(f"dup_{unit}_char_frac"),
-    )
-
-
-def _top_ngram_frac(df: DataFrame, key: str, n: int) -> DataFrame:
-    """(key, top{n}gram_char_frac): characters covered by the most
-    frequent word n-gram (count x non-space gram chars / word chars);
-    ties break to the lexicographically smallest gram. Expects the
-    pre-split frame (key, _ww, word_chars)."""
-    words = F.col("_ww")
-    gram_counts = (
-        df.select(key, F.explode(_ngrams_expr(words, n)).alias("gram"))
-        .groupBy(key, "gram").agg(F.count_if(F.lit(True)).alias("cnt"))
-    )
-    top = gram_counts.groupBy(key).agg(
-        F.max("cnt").alias("_tc"),
-        F.min_by(F.col("gram"), F.struct(
-            (-F.col("cnt")).alias("neg"), F.col("gram"))).alias("_tg"),
-    )
-    return (
-        top.join(df.select(key, "word_chars"), key)
-        .select(
-            key,
-            F.round(F.col("_tc")
-                    * F.length(F.regexp_replace("_tg", " ", ""))
-                    / F.col("word_chars").cast("double"), 6)
-            .alias(f"top{n}gram_char_frac"))
-    )
-
-
-def _dup_ngram_coverage(df: DataFrame, key: str, n: int) -> DataFrame:
-    """(key, dup{n}gram_char_frac): fraction of word characters inside
-    ANY occurrence of an n-gram that repeats within the document —
-    overlapping occurrences counted once (union of covered word
-    positions, the published Gopher definition). Expects (key, _ww,
-    word_chars). Per-document keys only; linear in documents."""
-    words = F.col("_ww")
-    occ = df.select(
-        key, F.posexplode(_ngrams_expr(words, n)).alias("i", "gram"))
-    dup = occ.groupBy(key, "gram").agg(
-        F.count_if(F.lit(True)).alias("cnt")).where(F.col("cnt") > 1)
-    covered = (
-        occ.join(dup.select(key, "gram"), [key, "gram"])
-        .select(key, F.explode(
-            F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("idx"))
-        .distinct()
-    )
-    cov_chars = (
-        covered.join(df.select(key, "_ww"), key)
-        .select(key, F.length(
-            F.element_at(F.col("_ww"), F.col("idx") + 1)).alias("wl"))
-        .groupBy(key).agg(F.sum("wl").alias("_cov"))
-    )
-    return (
-        df.select(key, "word_chars").join(cov_chars, key, "left")
-        .select(key, F.round(
-            F.coalesce(F.col("_cov"), F.lit(0))
-            / F.col("word_chars").cast("double"), 6)
-            .alias(f"dup{n}gram_char_frac"))
-    )
-
-
 GOPHER_REPETITION_THRESHOLDS = {
     "dup_line_frac": 0.30, "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
@@ -497,8 +415,8 @@ GOPHER_REPETITION_THRESHOLDS = {
 def full_repetition_stats(df: DataFrame, key: str = "doc_id",
                           text_col: str = "text", line_sep: str = "\n",
                           para_sep: str = "\n\n",
-                          thresholds: dict[str, float] | None = None
-                          ) -> DataFrame:
+                          thresholds: dict[str, float] | None = None,
+                          persist_intermediate: bool = True) -> DataFrame:
     """The COMPLETE Gopher repetition rule set (Rae et al. 2021, A1.1,
     all 13 published thresholds): duplicate line/paragraph fractions
     (row and character), top-{2,3,4}-gram character fractions, and
@@ -506,29 +424,132 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
     covered positions), plus `gopher_repetition_pass` — false when ANY
     fraction exceeds its threshold.
 
-    Plan shape: ONE word-split projection persists per document and
-    every gram pass reuses it; all shuffles are keyed by (document,
-    unit) then document — per-document work only, linear in corpus
-    size, no corpus-wide hot key. The 13-way join fan-in is per-doc
-    k-row frames, broadcast-free inner/left joins on the document key.
+    Plan shape — built for ONE corpus scan, not thirteen:
+      * the text splits once into (words, lines, paragraphs); lines
+        derive from the paragraphs columnar, so the base projection is
+        a single pass (persisted + count()-materialized by default —
+        three downstream subtrees consume it);
+      * lines and paragraphs explode in ONE generator (tagged structs)
+        and pivot back per document — one shuffle keyed (doc, tag,
+        unit);
+      * all nine gram sizes explode in ONE generator (n-tagged) and
+        the per-(doc, n, gram) count frame feeds BOTH the top-gram
+        aggregate and the duplicate-coverage join; pivots on n replace
+        what was an 11-deep full-outer join chain (each branch of
+        which re-scanned the corpus);
+    every shuffle key carries the document id — per-document work
+    only, linear in corpus size, no corpus-wide hot key.
     """
     thresholds = dict(GOPHER_REPETITION_THRESHOLDS, **(thresholds or {}))
+    paras_col = F.split(F.col(text_col), para_sep)
     split = df.select(
-        key, _words(F.col(text_col)).alias("_ww"),
-        F.col(text_col).alias("_t"))
+        key,
+        _words(F.col(text_col)).alias("_ww"),
+        paras_col.alias("_pp"))
+    split = split.withColumn(
+        "_ll", F.flatten(F.transform(
+            F.col("_pp"), lambda p: F.split(p, line_sep))))
     split = split.withColumn(
         "word_chars",
         F.aggregate(F.transform(F.col("_ww"), F.length), F.lit(0),
                     lambda acc, x: acc + x))
-    out = _dup_unit_stats(split.select(key, F.col("_t")), key, "_t",
-                          line_sep, "line")
-    out = out.join(
-        _dup_unit_stats(split.select(key, F.col("_t")), key, "_t",
-                        para_sep, "para"), key, "full")
+    if persist_intermediate:
+        split = split.persist()
+        split.count()
+    base = split.select(key, "word_chars")
+
+    # -- line/paragraph duplicate fractions: one explode, one pivot --
+    tagged = F.concat(
+        F.transform(F.col("_ll"),
+                    lambda u: F.struct(F.lit("line").alias("tag"),
+                                       u.alias("u"))),
+        F.transform(F.col("_pp"),
+                    lambda u: F.struct(F.lit("para").alias("tag"),
+                                       u.alias("u"))))
+    units = (split.select(key, F.explode(tagged).alias("tu"))
+             .select(key, F.col("tu.tag").alias("tag"),
+                     F.col("tu.u").alias("u"))
+             .where(F.length("u") > 0))
+    ucnt = units.groupBy(key, "tag", "u").agg(
+        F.count_if(F.lit(True)).alias("cnt"))
+    ustat = ucnt.groupBy(key, "tag").agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double"), 6).alias("frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1,
+                         F.col("cnt") * F.length("u")).otherwise(0))
+            / F.sum(F.col("cnt") * F.length("u")).cast("double"), 6
+        ).alias("char_frac"))
+    upvt = (ustat.groupBy(key).pivot("tag", ["line", "para"])
+            .agg(F.first("frac").alias("frac"),
+                 F.first("char_frac").alias("char_frac")))
+
+    # -- gram stats: one n-tagged explode feeds top AND coverage --
+    words = F.col("_ww")
+    gram_arr = F.array(*[
+        F.struct(F.lit(n).alias("n"), _ngrams_expr(words, n).alias("gs"))
+        for n in range(2, 11)])
+    occ = (split.select(key, F.explode(gram_arr).alias("g"))
+           .select(key, F.col("g.n").alias("n"),
+                   F.posexplode("g.gs").alias("i", "gram")))
+    if persist_intermediate:
+        occ = occ.persist()
+        occ.count()
+    counts = occ.groupBy(key, "n", "gram").agg(
+        F.count_if(F.lit(True)).alias("cnt"))
+    if persist_intermediate:
+        counts = counts.persist()
+        counts.count()
+        occ.unpersist()
+
+    top = (counts.where(F.col("n") <= 4)
+           .groupBy(key, "n")
+           .agg(F.max("cnt").alias("_tc"),
+                F.min_by(F.col("gram"), F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("gram"))).alias("_tg"))
+           .join(base, key)
+           .select(key, "n", F.round(
+               F.col("_tc") * F.length(F.regexp_replace("_tg", " ", ""))
+               / F.col("word_chars").cast("double"), 6).alias("frac")))
+    tpvt = top.groupBy(key).pivot("n", [2, 3, 4]).agg(F.first("frac"))
+
+    dupg = counts.where((F.col("n") >= 5) & (F.col("cnt") > 1)) \
+        .select(key, "n", "gram")
+    covered = (
+        occ.where(F.col("n") >= 5)
+        .join(dupg, [key, "n", "gram"])
+        .select(key, "n", F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.col("n") - 1))
+            .alias("idx"))
+        .distinct())
+    cov_chars = (
+        covered.join(split.select(key, "_ww"), key)
+        .select(key, "n", F.length(
+            F.element_at(F.col("_ww"), F.col("idx") + 1)).alias("wl"))
+        .groupBy(key, "n").agg(F.sum("wl").alias("cov")))
+    cpvt = cov_chars.groupBy(key).pivot("n", [5, 6, 7, 8, 9, 10]) \
+        .agg(F.first("cov"))
+
+    out = (base.join(upvt, key, "left")
+           .join(tpvt, key, "left")
+           .join(cpvt, key, "left"))
+    sel = [
+        F.col(key),
+        F.col("line_frac").alias("dup_line_frac"),
+        F.col("line_char_frac").alias("dup_line_char_frac"),
+        F.col("para_frac").alias("dup_para_frac"),
+        F.col("para_char_frac").alias("dup_para_char_frac"),
+    ]
     for n in (2, 3, 4):
-        out = out.join(_top_ngram_frac(split, key, n), key, "full")
+        sel.append(F.col(str(n)).alias(f"top{n}gram_char_frac"))
     for n in (5, 6, 7, 8, 9, 10):
-        out = out.join(_dup_ngram_coverage(split, key, n), key, "full")
+        sel.append(F.round(
+            F.coalesce(F.col(str(n)), F.lit(0))
+            / F.col("word_chars").cast("double"), 6)
+            .alias(f"dup{n}gram_char_frac"))
+    out = out.select(*sel, "word_chars").drop("word_chars")
     cond = None
     for col, thr in thresholds.items():
         bad = F.coalesce(F.col(col), F.lit(0.0)) > thr
