@@ -1547,14 +1547,14 @@ def _gopher_repetition_oracle() -> str:
                      f"GROUP BY doc_id"))
     for n in (2, 3, 4):
         ctes.append((f"g{n}",
-                     f"SELECT doc_id, array_to_string(ws[cast(i+1 AS int):"
-                     f"cast(i+{n} AS int)], ' ') AS gram FROM "
+                     f"SELECT doc_id, i, array_to_string(ws[cast(i+1 AS "
+                     f"int):cast(i+{n} AS int)], ' ') AS gram FROM "
                      f"(SELECT doc_id, ws, unnest(range(0, "
                      f"len(ws) - {n} + 1)) AS i FROM w)"))
         ctes.append((f"t{n}",
                      f"SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, "
                      f"count(*) AS cnt, row_number() OVER (PARTITION BY "
-                     f"doc_id ORDER BY count(*) DESC, gram ASC) AS rn "
+                     f"doc_id ORDER BY count(*) DESC, min(i) ASC) AS rn "
                      f"FROM g{n} GROUP BY doc_id, gram) WHERE rn = 1"))
         ctes.append((f"tf{n}",
                      f"SELECT t{n}.doc_id, round(cnt * strlen(replace("

@@ -54,6 +54,14 @@ GROUPS: dict[str, list[str]] = {
     "corpus": [
         "duplicate_spans", "dedup_components", "pack_sequences_docs",
     ],
+    # round-4 ingestion/curation additions; own fresh JVM so older
+    # groups' cross-round numbers stay comparable (BENCH.md: excluded
+    # from common-subtotal comparisons)
+    "ingest": [
+        "warc_roundtrip", "url_dedup_canonical", "bpe_token_counts",
+        "classifier_quality_sample", "train_split_assign",
+        "gopher_repetition_full",
+    ],
 }
 
 

@@ -458,46 +458,82 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
         split.count()
     base = split.select(key, "word_chars")
 
-    # -- line/paragraph duplicate fractions: one explode, one pivot --
+    # -- line/paragraph duplicate fractions: one explode, one pivot.
+    # Units shuffle as (xxhash64, char length) — the unit TEXT (lines
+    # and whole paragraphs, the longest strings in the pipeline) never
+    # crosses an exchange; the fractions only need the count and the
+    # length of each distinct unit.
     tagged = F.concat(
         F.transform(F.col("_ll"),
                     lambda u: F.struct(F.lit("line").alias("tag"),
-                                       u.alias("u"))),
+                                       F.xxhash64(u).alias("uh"),
+                                       F.length(u).alias("ulen"))),
         F.transform(F.col("_pp"),
                     lambda u: F.struct(F.lit("para").alias("tag"),
-                                       u.alias("u"))))
+                                       F.xxhash64(u).alias("uh"),
+                                       F.length(u).alias("ulen"))))
     units = (split.select(key, F.explode(tagged).alias("tu"))
              .select(key, F.col("tu.tag").alias("tag"),
-                     F.col("tu.u").alias("u"))
-             .where(F.length("u") > 0))
-    ucnt = units.groupBy(key, "tag", "u").agg(
-        F.count_if(F.lit(True)).alias("cnt"))
+                     F.col("tu.uh").alias("uh"),
+                     F.col("tu.ulen").alias("ulen"))
+             .where(F.col("ulen") > 0))
+    ucnt = units.groupBy(key, "tag", "uh").agg(
+        F.count_if(F.lit(True)).alias("cnt"),
+        F.first("ulen").alias("ulen"))
     ustat = ucnt.groupBy(key, "tag").agg(
         F.round(
             F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
             / F.sum("cnt").cast("double"), 6).alias("frac"),
         F.round(
             F.sum(F.when(F.col("cnt") > 1,
-                         F.col("cnt") * F.length("u")).otherwise(0))
-            / F.sum(F.col("cnt") * F.length("u")).cast("double"), 6
+                         F.col("cnt") * F.col("ulen")).otherwise(0))
+            / F.sum(F.col("cnt") * F.col("ulen")).cast("double"), 6
         ).alias("char_frac"))
     upvt = (ustat.groupBy(key).pivot("tag", ["line", "para"])
             .agg(F.first("frac").alias("frac"),
                  F.first("char_frac").alias("char_frac")))
 
-    # -- gram stats: one n-tagged explode feeds top AND coverage --
-    words = F.col("_ww")
+    # -- gram stats: one n-tagged explode feeds top AND coverage.
+    # Grams are identified by a CHAINED xxhash64 over per-word hashes
+    # (acc = xxhash64(acc, next) — overflow-free under ANSI mode, full
+    # 64-bit space), never by the joined gram string: only
+    # (key, n, i, gh) — four long-width columns — cross the count
+    # exchange, the corpus_line_dedup int-only-shuffle pattern. The
+    # top-gram tie on equal counts breaks by EARLIEST FIRST OCCURRENCE
+    # (distinct grams can't share a position, so the order is total and
+    # oracle-reproducible); the winner's character length is recomputed
+    # from the word-length array at its first occurrence — ≤3 rows per
+    # document ever touch gram text semantics.
+    whs = F.transform(F.col("_ww"), lambda w: F.xxhash64(w))
+    split = split.withColumn("_wh", whs).withColumn(
+        "_wl", F.transform(F.col("_ww"), F.length))
+
+    def gram_hashes(n: int):
+        wh = F.col("_wh")
+        if n == 1:
+            return wh
+
+        def chain(h, i):
+            acc = h
+            for k in range(1, n):
+                acc = F.xxhash64(acc, F.element_at(wh, i + k + 1))
+            return acc
+        return F.transform(
+            F.slice(wh, 1, F.greatest(F.size(wh) - (n - 1), F.lit(0))),
+            chain)
+
     gram_arr = F.array(*[
-        F.struct(F.lit(n).alias("n"), _ngrams_expr(words, n).alias("gs"))
+        F.struct(F.lit(n).alias("n"), gram_hashes(n).alias("gs"))
         for n in range(2, 11)])
     occ = (split.select(key, F.explode(gram_arr).alias("g"))
            .select(key, F.col("g.n").alias("n"),
-                   F.posexplode("g.gs").alias("i", "gram")))
+                   F.posexplode("g.gs").alias("i", "gh")))
     if persist_intermediate:
         occ = occ.persist()
         occ.count()
-    counts = occ.groupBy(key, "n", "gram").agg(
-        F.count_if(F.lit(True)).alias("cnt"))
+    counts = occ.groupBy(key, "n", "gh").agg(
+        F.count_if(F.lit(True)).alias("cnt"),
+        F.min("i").alias("min_i"))
     if persist_intermediate:
         counts = counts.persist()
         counts.count()
@@ -506,20 +542,22 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
     top = (counts.where(F.col("n") <= 4)
            .groupBy(key, "n")
            .agg(F.max("cnt").alias("_tc"),
-                F.min_by(F.col("gram"), F.struct(
+                F.min_by(F.col("min_i"), F.struct(
                     (-F.col("cnt")).alias("neg"),
-                    F.col("gram"))).alias("_tg"))
-           .join(base, key)
+                    F.col("min_i"))).alias("_ti"))
+           .join(split.select(key, "word_chars", "_wl"), key)
            .select(key, "n", F.round(
-               F.col("_tc") * F.length(F.regexp_replace("_tg", " ", ""))
+               F.col("_tc") * F.aggregate(
+                   F.slice(F.col("_wl"), F.col("_ti") + 1, F.col("n")),
+                   F.lit(0), lambda acc, x: acc + x)
                / F.col("word_chars").cast("double"), 6).alias("frac")))
     tpvt = top.groupBy(key).pivot("n", [2, 3, 4]).agg(F.first("frac"))
 
     dupg = counts.where((F.col("n") >= 5) & (F.col("cnt") > 1)) \
-        .select(key, "n", "gram")
+        .select(key, "n", "gh")
     covered = (
         occ.where(F.col("n") >= 5)
-        .join(dupg, [key, "n", "gram"])
+        .join(dupg, [key, "n", "gh"])
         .select(key, "n", F.explode(
             F.sequence(F.col("i"), F.col("i") + F.col("n") - 1))
             .alias("idx"))

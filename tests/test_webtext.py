@@ -237,7 +237,12 @@ def _py_full_repetition(text, line_sep="\n", para_sep="\n\n"):
             out[key] = None
             continue
         c = Counter(grams)
-        top = min(c, key=lambda g: (-c[g], g))
+        first = {}
+        for i, g in enumerate(grams):
+            first.setdefault(g, i)
+        # count ties break by earliest first occurrence (positions are
+        # unique per gram, so the order is total)
+        top = min(c, key=lambda g: (-c[g], first[g]))
         out[key] = round(c[top] * len(top.replace(" ", "")) / wchars, 6)
     for n in (5, 6, 7, 8, 9, 10):
         grams = [" ".join(words[i:i + n])
