@@ -26,9 +26,14 @@ import sys
 import time
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-warc",
+                    help="directory of .warc/.warc.gz archives — the raw "
+                         "crawl ingestion edge (extraction-only: no GT "
+                         "text exists, so the GT-relative metric columns "
+                         "are dropped from the output)")
     ap.add_argument("--synth-from", help="documents parquet dir (hermetic synthetic mode)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
@@ -63,8 +68,29 @@ def main(argv: list[str] | None = None) -> None:
             pages = resume_filter(pages, spark, args.output, key="url")
         scored = extract_and_score(pages, n_partitions=n_parts)
         key = "url"
+    elif args.input_warc:
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.sources.binary_files import read_binary_files
+        from docling_eval_spark.sources.warc import warc_records
+
+        recs = warc_records(read_binary_files(spark, args.input_warc))
+        pages = recs.select(
+            F.xxhash64("url").alias("doc_id"), "url", "warc_ts", "html",
+            F.lit("").alias("text"), F.lit("").alias("lang"))
+        if args.checkpoint_resume:
+            pages = resume_filter(pages, spark, args.output, key="url")
+        scored = extract_and_score(pages, n_partitions=n_parts)
+        # a raw crawl has no ground-truth text: keep the extraction
+        # product, drop the GT-relative metric columns rather than
+        # reporting scores against an empty reference
+        keep = ["doc_id", "url", "lang", "extracted_text",
+                "n_blocks", "n_content", "n_boiler", "spans", "tables"]
+        scored = scored.select(*[c for c in keep if c in scored.columns]) \
+            .withColumn("byte_identical", F.lit(False))
+        key = "url"
     else:
-        ap.error("one of --input / --synth-from is required")
+        ap.error("one of --input / --input-warc / --synth-from is required")
         return
 
     out_cols = [c for c in scored.columns if c not in ("spans", "tables")]
@@ -80,7 +106,8 @@ def main(argv: list[str] | None = None) -> None:
     ok = committed.where("byte_identical").count()
     print(f"extract-job run_id={run_id} committed={n} byte_identical={ok} "
           f"rate={ok / max(n, 1):.6f}")
-    spark.stop()
+    if stop_session:  # in-process callers (tests) keep their session
+        spark.stop()
 
 
 if __name__ == "__main__":

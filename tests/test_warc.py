@@ -79,6 +79,40 @@ class TestWarcRecordsSpark:
         assert all(r.n_malformed == 0 for r in rows)
         assert all(r.http_status == 200 for r in rows)
 
+    def test_extract_job_warc_mode_and_resume(self, spark, tmp_path):
+        """The production job ingests raw archives end-to-end: WARC ->
+        extraction-only output (no GT-relative metric columns), and a
+        checkpoint-resume re-run appends nothing."""
+        from datetime import timezone
+
+        from docling_eval_spark.sources.warc import build_warc
+        from jobs.extract_job import main as job_main
+
+        arch = tmp_path / "crawl"
+        arch.mkdir()
+        body = ("<html><body><div><p>" + "content words here " * 25
+                + "</p></div></body></html>").encode()
+        recs = [(f"https://c.example/{i}", _dt(i * 10), body)
+                for i in range(4)]
+        (arch / "a.warc.gz").write_bytes(build_warc(recs))
+        out = str(tmp_path / "out")
+        lineage = str(tmp_path / "lineage")
+
+        job_main(["--input-warc", str(arch), "--output", out,
+                  "--lineage", lineage, "--run-id", "w1",
+                  "--checkpoint-resume", "--partitions", "4"],
+                 stop_session=False)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 4
+        assert all("content words here" in r.extracted_text for r in rows)
+        assert "edit_distance" not in rows[0].asDict()  # no fake scores
+
+        job_main(["--input-warc", str(arch), "--output", out,
+                  "--lineage", lineage, "--run-id", "w2",
+                  "--checkpoint-resume", "--partitions", "4"],
+                 stop_session=False)
+        assert spark.read.parquet(out).count() == 4  # idempotent
+
     def test_warc_to_extraction_byte_identical(self, spark, tmp_path):
         """The ingestion edge feeds the flagship extractor: archive ->
         (url, warc_ts, html) -> extract_pages, and the extracted main
