@@ -1452,12 +1452,48 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode path (F17, the last decode-tier gap): flat-block
+    fixtures with even level shifts round-trip the from-scratch T.81
+    baseline codec EXACTLY (only DC coefficients, Annex-K DC quantum 16
+    divides them — functions/jpeg_codec.py docstring), so the oracle
+    recomputes decoded dimensions and mean luma closed-form from the
+    block-value formula. Any Huffman/DCT/dequant bug flips the hash."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").where(F.col("doc_id") < 500)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0x1A6)))
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.functions.jpeg_codec import (
+            decode_jpeg, synth_jpeg)
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (2 + d % 4), 8 * (1 + d % 3)
+                arr = decode_jpeg(synth_jpeg(d, w, h))
+                rows.append((d, arr.shape[1], arr.shape[0],
+                             round(float(arr.astype("float64").mean()), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_luma"])
+
+    return docs.mapInPandas(
+        gen, schema="doc_id bigint, width int, height int, "
+                    "mean_luma double").orderBy("doc_id")
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
-    gets JPEG magic, %7==1 P6, the rest PNG): JPEG must surface as a
-    distinct undecodable class, never silently as generic binary. The
-    oracle assumes this sandbox's no-Pillow environment (with Pillow
-    importable the JPEG tier reads 'pil')."""
+    gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
+    routes to a from-scratch builtin decoder (PPM/numpy, png_codec,
+    jpeg_codec), never silently to the generic fake."""
     from docling_eval_spark.operators.multimodal import decode_tier_accounting
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -2583,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "pack_bpe_sequences": _q_pack_bpe_sequences,
         "payload_mime_counts": _q_payload_mime_counts,
+        "jpeg_decode_features": _q_jpeg_decode_features,
         "warc_roundtrip": _q_warc_roundtrip,
         "url_dedup_canonical": _q_url_dedup,
         "classifier_quality_sample": _q_classifier_sample,
@@ -3523,6 +3560,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM d JOIN layout l ON l.m = d.m "
             "ORDER BY doc_id, row, col"
         ),
+        "jpeg_decode_features": (
+            "WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS wb, "
+            "1 + doc_id % 3 AS hb FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id, cast(wb * 8 AS int) AS width, "
+            "cast(hb * 8 AS int) AS height, "
+            "round(list_sum(list_transform(range(0, wb * hb), i -> "
+            "128 + 2 * (((doc_id + 3 * (i % wb) + 7 * (i // wb)) % 49) "
+            "- 24))) / cast(wb * hb AS double), 6) AS mean_luma "
+            "FROM d ORDER BY doc_id"
+        ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "
             "8 + doc_id % 8 AS h FROM documents WHERE doc_id < 500) "
@@ -3850,8 +3897,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH p AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'image/jpeg' "
             "WHEN doc_id % 7 = 1 THEN 'image/x-portable-pixmap' "
             "ELSE 'image/png' END AS mime FROM documents) "
-            "SELECT mime, CASE WHEN mime = 'image/jpeg' "
-            "THEN 'undecodable' ELSE 'builtin' END AS decode_tier, "
+            "SELECT mime, 'builtin' AS decode_tier, "
             "count(*) AS n_payloads FROM p GROUP BY mime "
             "ORDER BY mime"
         ),

@@ -43,9 +43,10 @@ _MAGIC = [
 
 
 # -- real decode path: PPM (P6) ----------------------------------------------
-# The netpbm P6 format is fully decodable with numpy alone, so the decode
-# tier has one REAL end-to-end path in this sandbox (PNG/JPEG stay behind
-# the PIL import gate).
+# The netpbm P6 format is fully decodable with numpy alone; PNG and
+# baseline JPEG have their own from-scratch codecs (functions/png_codec.py,
+# functions/jpeg_codec.py) — every image mime decodes REAL in this sandbox,
+# with PIL as the fallback tier for exotic profiles.
 
 
 def synth_ppm(doc_id: int, width: int, height: int) -> bytes:
@@ -123,29 +124,22 @@ def with_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
-def _has_pil() -> bool:
-    try:  # pragma: no cover - environment-dependent
-        from PIL import Image  # noqa: F401
-        return True
-    except Exception:
-        return False
-
-
 def decode_tier_accounting(df: DataFrame,
                            payload_col: str = "payload") -> DataFrame:
     """Per-payload decode-tier classification, native expressions only:
     (mime, decode_tier) where decode_tier names the decoder that WOULD
     handle the payload —
 
-      'builtin'      PPM/PNG: the from-scratch numpy / png_codec paths
-      'pil'          JPEG with Pillow importable
-      'undecodable'  JPEG with no codec available — a DISTINCT class,
-                     never silently lumped into the generic fake
+      'builtin'      PPM/PNG/JPEG: the from-scratch numpy / png_codec /
+                     jpeg_codec paths (baseline JPEG; progressive or
+                     subsampled profiles degrade at decode time to PIL
+                     when importable, else honest nulls)
       'fake'         everything else (deterministic fake decode)
 
-    The honesty layer the decode tier owes its accounting: a corpus of
-    JPEG page images with no codec in the image must show up as
-    undecodable JPEG counts, not as generic binary that 'decoded'."""
+    The honesty layer the decode tier owes its accounting: payloads
+    that cannot really decode must never surface as generic binary
+    that 'decoded' — decode_image_features returns null features for a
+    JPEG no tier could handle."""
     p = F.col(payload_col)
     mime = F.lit("application/octet-stream")
     for prefix, m in reversed(_MAGIC):
@@ -155,10 +149,9 @@ def decode_tier_accounting(df: DataFrame,
             F.lit(m)).otherwise(mime)
     out = df.withColumn("mime", mime)
     tier = (
-        F.when(F.col("mime").isin("image/x-portable-pixmap", "image/png"),
+        F.when(F.col("mime").isin("image/x-portable-pixmap", "image/png",
+                                  "image/jpeg"),
                F.lit("builtin"))
-        .when(F.col("mime") == "image/jpeg",
-              F.lit("pil") if _has_pil() else F.lit("undecodable"))
         .otherwise(F.lit("fake")))
     return out.withColumn("decode_tier", tier)
 
@@ -245,6 +238,23 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                         )
 
                         arr = decode_png(b)
+                        luma, feat = _luma_features(arr, dim)
+                        rows.append((int(doc_id), arr.shape[1],
+                                     arr.shape[0], luma, feat))
+                        continue
+                    except Exception:
+                        pass
+                if b.startswith(b"\xff\xd8\xff"):
+                    # REAL decode path #3: from-scratch baseline JPEG
+                    # (functions/jpeg_codec.py — T.81 sequential DCT,
+                    # grayscale + 4:4:4 color); progressive/subsampled
+                    # profiles fall through to PIL, then honest nulls.
+                    try:
+                        from docling_eval_spark.functions.jpeg_codec import (
+                            decode_jpeg,
+                        )
+
+                        arr = decode_jpeg(b)
                         luma, feat = _luma_features(arr, dim)
                         rows.append((int(doc_id), arr.shape[1],
                                      arr.shape[0], luma, feat))

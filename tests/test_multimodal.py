@@ -6,6 +6,7 @@ schemas, determinism, fan-out row counts, and native metadata columns.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -45,8 +46,8 @@ class TestMultimodal:
         assert all(64 <= r["width"] <= 256 for r in r1.values())
 
     def test_decode_tier_accounting(self, spark):
-        """JPEG with no codec must surface as a DISTINCT undecodable
-        class — never lumped into the generic fake tier."""
+        """Every real image mime routes to a from-scratch builtin
+        decoder; only unknown payloads ride the deterministic fake."""
         from docling_eval_spark.operators.multimodal import (
             decode_tier_accounting)
 
@@ -59,7 +60,7 @@ class TestMultimodal:
         df = spark.createDataFrame(rows, ["doc_id", "payload"])
         out = {r.doc_id: (r.mime, r.decode_tier) for r in
                decode_tier_accounting(df).collect()}
-        assert out[1] == ("image/jpeg", "undecodable")  # no Pillow here
+        assert out[1] == ("image/jpeg", "builtin")  # jpeg_codec.py
         assert out[2] == ("image/png", "builtin")
         assert out[3] == ("image/x-portable-pixmap", "builtin")
         assert out[4] == ("application/octet-stream", "fake")
@@ -69,8 +70,9 @@ class TestMultimodal:
         assert "EvalPython" not in plan
 
     def test_decode_features_jpeg_honest_nulls(self, spark):
-        """A JPEG payload with no decoder available yields null features
-        (honest failure), not a fake that pretends the image decoded."""
+        """A JPEG no tier can decode (torn/progressive, no Pillow)
+        yields null features (honest failure), not a fake that
+        pretends the image decoded."""
         from docling_eval_spark.operators.multimodal import (
             decode_image_features)
 
@@ -81,6 +83,25 @@ class TestMultimodal:
         assert out[1].width is None and out[1].mean_luma is None
         assert out[1].embedding is None
         assert out[2].width is not None  # generic binary keeps the fake
+
+    def test_decode_features_real_jpeg_path(self, spark):
+        """A baseline JPEG decodes through the from-scratch codec: a
+        flat-block fixture yields its exact dimensions and mean luma."""
+        from docling_eval_spark.functions.jpeg_codec import synth_jpeg
+        from docling_eval_spark.operators.multimodal import (
+            decode_image_features)
+
+        rows = [(d, synth_jpeg(d, 32, 16)) for d in (1, 2)]
+        df = spark.createDataFrame(rows, ["doc_id", "payload"])
+        out = {r.doc_id: r for r in decode_image_features(df).collect()}
+        import numpy as np
+        for d in (1, 2):
+            by, bx = np.mgrid[0:2, 0:4]
+            vals = 128 + 2 * (((d + 3 * bx + 7 * by) % 49) - 24)
+            want = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+            assert (out[d].width, out[d].height) == (32, 16)
+            expect_luma = float(want.mean(axis=0).mean()) / 255.0
+            assert out[d].mean_luma == pytest.approx(expect_luma, abs=1e-9)
 
     def test_frame_fanout_counts(self, spark, sf_dir):
         from docling_eval_spark.operators.multimodal import sample_frames
