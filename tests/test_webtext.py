@@ -182,6 +182,25 @@ def test_domain_rollup_salted_matches_unsalted(spark, sf_dir):
     assert plain == salted and len(plain) == 7
 
 
+def test_perplexity_buckets_thirds_and_ties(spark):
+    from docling_eval_spark.operators.webtext import perplexity_buckets
+
+    # 90 docs, heavily tied scores (30 distinct values x 3) — the tie
+    # refinement path must still produce the exact global rank
+    rows = [(i, float(i % 30)) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "unigram_nll"])
+    out = {r.doc_id: r for r in perplexity_buckets(
+        df, max_partition_rows=10).collect()}
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    for rank, (doc_id, _) in enumerate(order):
+        assert out[doc_id].ppl_rank == rank, doc_id
+        want = ("head", "middle", "tail")[min(rank * 3 // 90, 2)]
+        assert out[doc_id].ppl_bucket == want, (doc_id, rank)
+    from collections import Counter
+    assert Counter(r.ppl_bucket for r in out.values()) == {
+        "head": 30, "middle": 30, "tail": 30}
+
+
 def test_assign_split_deterministic_and_stable(spark):
     import hashlib
 
