@@ -292,6 +292,17 @@ def cmd_curate(args) -> None:
     n_input = docs.count()
 
     kept = docs
+    n_url_dropped = 0
+    if args.url_dedup:
+        # RefinedWeb's FIRST stage: exact dedup on the canonical URL —
+        # cheapest possible gate (native expressions + one hash groupBy
+        # on short strings), shrinking everything downstream
+        from .operators.webtext import url_dedup
+
+        deduped = url_dedup(kept, key=key, url_col=args.url_col)
+        kept = deduped.where("url_keep_first").drop(
+            "url_norm", "n_same_url", "url_keep_first")
+        n_url_dropped = n_input - kept.count()
     if args.normalize:
         # replace the text column; keep the changed flag through the
         # gates so the PII aggregation pass can count it for free
@@ -361,6 +372,8 @@ def cmd_curate(args) -> None:
     }
     if args.sample is not None:
         summary["sample_rate"] = args.sample
+    if args.url_dedup:
+        summary["n_url_duplicates_dropped"] = n_url_dropped
     if args.normalize:
         summary["normalized_changed"] = int(pii["nc"] or 0)
     if args.decontaminate:
@@ -436,6 +449,10 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--skip-c4", action="store_true")
     cu.add_argument("--sample", type=float, default=None)
     cu.add_argument("--sample-salt", default="")
+    cu.add_argument("--url-dedup", action="store_true",
+                    help="canonical-URL exact dedup first (RefinedWeb "
+                         "stage ordering)")
+    cu.add_argument("--url-col", default="url")
     cu.add_argument("--normalize", action="store_true")
     cu.add_argument("--decontaminate", default=None,
                     help="parquet path of a benchmark table to n-gram "

@@ -94,6 +94,35 @@ def test_cli_curate(spark, tmp_path):
     assert s["lines_seen"] == 7 and s["lines_kept"] == 6
 
 
+def test_cli_curate_url_dedup_stage(spark, tmp_path):
+    """--url-dedup drops canonical-URL duplicates before any quality
+    gate and accounts for them in the summary."""
+    from docling_eval_spark import cli
+
+    line = "the quick brown fox jumps over the fence today."
+    body = "\n".join([line, line.replace("fox", "cat"),
+                      line.replace("fox", "owl")])
+    rows = [
+        (1, "https://www.a.example/p?utm_source=x", body),
+        (2, "https://A.example/p/", body),      # same canonical URL
+        (3, "https://a.example/q", body.replace("the", "a")),
+    ]
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    summ = str(tmp_path / "summary.json")
+    spark.createDataFrame(rows, ["doc_id", "url", "text"]) \
+        .write.parquet(inp)
+
+    cli.main(["curate", "--input", inp, "--output", out,
+              "--min-words", "10", "--url-dedup", "--summary", summ])
+
+    cur = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in cur} == {1, 3}   # min-key survivor wins
+    s = json.loads(open(summ).read())
+    assert s["n_url_duplicates_dropped"] == 1
+    assert s["n_input"] == 3 and s["n_output"] == 2
+
+
 def test_cli_curate_applies_c4_line_filter(spark, tmp_path):
     """The C4 stage must adopt text_clean: a line failing the line rules
     (no terminal punctuation) must not survive into the curated output
