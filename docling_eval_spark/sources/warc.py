@@ -16,8 +16,12 @@ from scratch on the published format — no warcio, no external deps:
 Scale shape: one archive file = one row from `binaryFile` = one Arrow
 batch element; parsing fans out records per file inside the executors
 (mapInPandas), so a 100 TB crawl parses at input-split parallelism with
-zero driver involvement. Malformed records are counted, never raised —
-a crawl ALWAYS contains torn records, and one bad segment must not kill
+zero driver involvement. Memory note: `binaryFile` does NOT split a
+file, so executor memory must hold whole archives — Common Crawl ships
+~1 GB .warc.gz shards, which is exactly why the session config keeps
+Arrow batches small (maxRecordsPerBatch); re-shard anything larger
+before ingesting. Malformed records are counted, never raised — a
+crawl ALWAYS contains torn records, and one bad segment must not kill
 a 10^12-document job.
 
 Reference analog: none (the reference ingests prepared datasets); the
