@@ -131,6 +131,84 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
     return writer.start()
 
 
+def start_curation_ingest(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint_path: str,
+                          stats_path: str | None = None,
+                          key: str = "doc_id", text_col: str = "text",
+                          min_words: int = 20,
+                          min_kept_lines: int = 1,
+                          available_now: bool = True) -> StreamingQuery:
+    """Streaming curation: the curate CLI's quality chain runs per
+    micro-batch BEFORE the dedup-against-committed append — Gopher
+    quality gate -> C4 line filter (text_clean adopted, so failing
+    lines are actually dropped) -> PII redaction -> exact dedup
+    against everything already committed. A continuously-arriving
+    crawl lands curated and deduplicated without a separate batch
+    pass; the identical operators run in both deployments (one code
+    path — the module's standing promise).
+
+    Idempotency under foreachBatch replay: the gates are deterministic
+    per row, so a replayed batch re-derives identical survivors, and
+    the exact-dedup stage drops them against their own committed
+    copies — the sink appends nothing twice. `stats_path` appends one
+    drop-accounting row per micro-batch (batch_id, n_input, n_quality,
+    n_committed); replays skip their already-committed stats row by
+    batch_id, keeping the sidecar idempotent too."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import dedup_against
+    from ..operators.webtext import (
+        c4_page_filter, redact_pii, with_gopher_quality)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cols = batch_df.columns
+        n_input = batch_df.count()
+        gated = (with_gopher_quality(batch_df, text_col=text_col,
+                                     min_words=min_words)
+                 .where("gopher_pass").select(*cols))
+        c4 = c4_page_filter(gated, text_col=text_col,
+                            min_kept_lines=min_kept_lines)
+        cleaned = (c4.where("keep")
+                   .drop(text_col, "keep", "n_lines", "n_kept_lines")
+                   .withColumnRenamed("text_clean", text_col)
+                   .select(*cols))
+        redacted = redact_pii(cleaned, text_col=text_col,
+                              out_col=text_col).select(*cols).persist()
+        n_quality = redacted.count()
+        try:
+            history = sess.read.parquet(output_path).select(text_col)
+        except AnalysisException:   # first batch: no output yet
+            history = redacted.select(text_col).limit(0)
+        kept = dedup_against(redacted, history, text_col=text_col,
+                             key=key).persist()
+        n_committed = kept.count()  # materialize before the append
+        kept.write.mode("append").parquet(output_path)
+        redacted.unpersist()
+        kept.unpersist()
+        if stats_path:
+            try:
+                seen = sess.read.parquet(stats_path) \
+                    .where(F.col("batch_id") == batch_id).count()
+            except AnalysisException:
+                seen = 0
+            if not seen:            # replayed batch: stats already there
+                sess.createDataFrame(
+                    [(int(batch_id), n_input, n_quality, n_committed)],
+                    "batch_id long, n_input long, n_quality long, "
+                    "n_committed long").write.mode("append") \
+                    .parquet(stats_path)
+
+    writer = (
+        stream_pages(spark, input_path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_throughput(pages: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
     """Event-time ingest rollup: docs and bytes per `warc_ts` window,

@@ -141,6 +141,69 @@ class TestStreamingDedupIngest:
         assert spark.read.parquet(out).count() == 3
 
 
+class TestStreamingCurationIngest:
+    def test_quality_gates_then_dedup_per_batch(self, spark, tmp_path):
+        from docling_eval_spark.streaming.ingest import start_curation_ingest
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stats = str(tmp_path / "stats")
+        cols = ["url", "warc_ts", "html", "text", "lang", "doc_id"]
+
+        good = ("the quick brown fox jumps over the fence today.\n"
+                "a lazy dog sleeps near the old barn for a while.\n"
+                "it is a warm day for the whole busy town here.")
+        pii = good.replace("fence", "fence so contact bob@mail.example")
+        # distinct base text (else the cleaned doc exact-dedups away)
+        badline = good.replace("fox", "owl") + "\nclick here now"
+
+        def page(doc_id, text):
+            import datetime
+            return (f"https://x/{doc_id}",
+                    datetime.datetime(2026, 1, 1, 0, 0, doc_id % 60),
+                    text.encode(), text, "en", doc_id)
+
+        # wave 1: doc 1 clean, doc 2 tiny (fails Gopher), doc 3 has a
+        # C4-failing line, doc 4 carries PII
+        spark.createDataFrame(
+            [page(1, good), page(2, "tiny."), page(3, badline),
+             page(4, pii)],
+            cols).coalesce(1).write.mode("append").parquet(landing)
+        q = start_curation_ingest(spark, landing, out, ckpt,
+                                  stats_path=stats, min_words=20)
+        q.awaitTermination(120)
+        rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert 2 not in rows                       # Gopher dropped it
+        assert "click here" not in rows[3].text    # C4 line removed
+        assert "<EMAIL>" in rows[4].text and "bob@" not in rows[4].text
+        n_first = len(rows)
+
+        # wave 2: doc 10 recrawls doc 1's exact text -> dropped against
+        # the committed history; doc 11 is new
+        fresh = good.replace("fox", "cat")
+        spark.createDataFrame(
+            [page(10, good), page(11, fresh)],
+            cols).coalesce(1).write.mode("append").parquet(landing)
+        q = start_curation_ingest(spark, landing, out, ckpt,
+                                  stats_path=stats, min_words=20)
+        q.awaitTermination(120)
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == set(rows) | {11}
+
+        # restart with the same checkpoint: no new files -> no appends,
+        # and the stats sidecar holds one row per distinct batch
+        q = start_curation_ingest(spark, landing, out, ckpt,
+                                  stats_path=stats, min_words=20)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == n_first + 1
+        srows = spark.read.parquet(stats).collect()
+        assert len({r.batch_id for r in srows}) == len(srows)
+        acc = {r.batch_id: r for r in srows}
+        first = acc[min(acc)]
+        assert (first.n_input, first.n_quality) == (4, 3)
+
+
 class TestStreamingNearDedupIngest:
     def test_near_recrawls_drop_against_committed(self, spark, tmp_path):
         from docling_eval_spark.streaming.ingest import start_dedup_ingest
