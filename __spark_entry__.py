@@ -1649,6 +1649,33 @@ def _rep_sql_ref(col: str) -> str:
     return f"round(coalesce(cf{n}.cov, 0) / wc.word_chars, 6)"
 
 
+def _q_robots_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots meta opt-out detection over synthetic page html covering
+    all tag shapes (quoted/unquoted/uppercase/none/absent); the oracle
+    re-derives the flags from the doc_id-driven construction."""
+    from docling_eval_spark.operators.webtext import with_robots_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    m = F.col("doc_id") % 5
+    meta = (
+        F.when(m == 0, F.lit("<meta name='robots' "
+                             "content='noindex, nofollow'>"))
+        .when(m == 1, F.lit('<META NAME="ROBOTS" CONTENT="NONE">'))
+        .when(m == 2, F.lit("<meta name='robots' content='index,follow'>"))
+        .when(m == 3, F.lit(""))
+        .otherwise(F.lit("<meta name=robots content=nofollow>")))
+    pages = docs.withColumn(
+        "html", F.encode(F.concat(
+            F.lit("<html><head>"), meta,
+            F.lit("</head><body>page "),
+            F.col("doc_id").cast("string"),
+            F.lit("</body></html>")), "utf-8"))
+    return (with_robots_flags(pages)
+            .select("doc_id", "robots_noindex", "robots_nofollow",
+                    "robots_keep")
+            .orderBy("doc_id"))
+
+
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet §4.4 head/middle/tail perplexity bucketing over the
     unigram-LM scores: the de-skewed distributed rank must reproduce
@@ -2642,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_full": _q_gopher_repetition_full,
         "train_split_assign": _q_assign_split,
         "perplexity_buckets": _q_perplexity_buckets,
+        "robots_meta_flags": _q_robots_flags,
         # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
@@ -3862,6 +3890,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "gopher_repetition_full": _gopher_repetition_oracle(),
+        "robots_meta_flags": (
+            "SELECT doc_id, "
+            "doc_id % 5 IN (0, 1) AS robots_noindex, "
+            "doc_id % 5 IN (0, 1, 4) AS robots_nofollow, "
+            "doc_id % 5 NOT IN (0, 1) AS robots_keep "
+            "FROM documents ORDER BY doc_id"
+        ),
         "perplexity_buckets": (
             "WITH toks AS (SELECT doc_id, "
             "unnest(string_split_regex(trim(text), '\\s+')) AS tok "

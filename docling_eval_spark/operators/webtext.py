@@ -1416,6 +1416,33 @@ def url_dedup(df: DataFrame, key: str = "doc_id",
             .drop("_win"))
 
 
+ROBOTS_META_RE = (
+    r'(?is)<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*'
+    r'content\s*=\s*["\']?([^"\'>]*)')
+
+
+def with_robots_flags(df: DataFrame, html_col: str = "html",
+                      out_prefix: str = "robots_") -> DataFrame:
+    """Robots meta-tag opt-out detection (the page-level half of REP —
+    robots.txt governs crawling, the <meta name=robots> tag governs
+    INDEXING/reuse, and responsible corpus pipelines drop noindex pages
+    at curation time since the crawler cannot see the tag before
+    fetching). Native expressions over the raw html bytes: the content
+    attribute of the robots meta tag is regexp-extracted
+    case-insensitively, `noindex` / `none` set robots_noindex,
+    `nofollow` / `none` set robots_nofollow, and robots_keep is the
+    curation predicate. Runs at scan speed; the html column is read
+    anyway by the extraction stage, so the flag is free."""
+    h = F.col(html_col)
+    content = F.lower(F.regexp_extract(
+        h.cast("string"), ROBOTS_META_RE, 1))
+    noindex = content.rlike("(noindex|none)")
+    nofollow = content.rlike("(nofollow|none)")
+    return (df.withColumn(f"{out_prefix}noindex", noindex)
+            .withColumn(f"{out_prefix}nofollow", nofollow)
+            .withColumn(f"{out_prefix}keep", ~noindex))
+
+
 def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Extract the registrable host from a URL column with the built-in
     parse_url (Catalyst expression, codegen-friendly)."""

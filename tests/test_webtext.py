@@ -378,6 +378,28 @@ def test_pareto_importance_sample_published_rule(spark):
     assert other != out
 
 
+def test_with_robots_flags(spark):
+    from docling_eval_spark.operators.webtext import with_robots_flags
+
+    rows = [
+        (1, b"<html><head><meta name='robots' content='noindex, nofollow'>"
+            b"</head><body>x</body></html>"),
+        (2, b'<html><head><META NAME="ROBOTS" CONTENT="NONE"></head>x'),
+        (3, b"<html><head><meta name='robots' content='index, follow'>x"),
+        (4, b"<html><body>no meta at all</body></html>"),
+        (5, b"<meta name=robots content=nofollow>"),   # unquoted attrs
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = {r.doc_id: r for r in with_robots_flags(df).collect()}
+    assert out[1].robots_noindex and out[1].robots_nofollow
+    assert not out[1].robots_keep
+    assert out[2].robots_noindex and out[2].robots_nofollow  # 'none'
+    assert not out[3].robots_noindex and out[3].robots_keep
+    assert not out[4].robots_noindex and out[4].robots_keep
+    assert not out[5].robots_noindex and out[5].robots_nofollow
+    assert out[5].robots_keep
+
+
 def test_normalize_url_canonical_forms(spark):
     from docling_eval_spark.operators.webtext import normalize_url
 
