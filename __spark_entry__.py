@@ -2646,16 +2646,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified, (4) then the rest. Under this rotation every registry
     entry carries a driver hash row at most two rounds old.
 
-    Round-4 instance: nine round-4 queries (never driver-verified —
-    BPE counting/packing, payload mime accounting, JPEG decode, WARC
+    Round-4 instance: the eleven round-4 queries (never driver-verified
+    — BPE counting/packing, payload mime accounting, JPEG decode, WARC
     round-trip, canonical URL dedup, classifier sampling, full
-    repetition set, split assignment) lead, then 41 entries whose last
-    driver row is CORRECTNESS_r02.json. Just past the window:
-    timings_histogram, consolidation_pivot, kv_graph_labels,
-    range_slice (r02-era) and five r3-verified entries whose operators
-    changed this round — all verified locally through tools/
-    check_oracle.py full sweeps this round (104/104 OK), and first in
-    line for round 5.
+    repetition set, split assignment, perplexity buckets, robots
+    flags) lead, then 39 entries whose last driver row is
+    CORRECTNESS_r02.json. Just past the window: six r02-era entries
+    (timings_rollup/stats/histogram, consolidation_pivot,
+    kv_graph_labels, range_slice) and five r3-verified entries whose
+    operators changed this round — all verified locally through
+    tools/check_oracle.py FULL sweeps this round (106/106 OK), and
+    first in line for round 5.
     """
     return {
         # --- slots 1-2: NEW in round 4, never driver-verified ---
