@@ -2496,6 +2496,22 @@ def _q_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("text_md5")).orderBy("doc_id")
 
 
+def _q_bloom_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_against_history, through the Bloom-
+    prefiltered path: the batch-side filter prunes the history scan
+    and the exact md5 stage keeps the output row-identical, so the
+    oracle is the plain anti-join closure."""
+    from docling_eval_spark.operators.dedup import bloom_dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    kept = bloom_dedup_against(batch, history)
+    return kept.select(
+        "doc_id", F.md5("text").alias("text_md5")).orderBy("doc_id")
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2022 exact duplicate-span measurement at n=8 tokens:
     per-doc count of positions inside corpus-repeated 8-grams and the
@@ -2671,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_assign": _q_assign_split,
         "perplexity_buckets": _q_perplexity_buckets,
         "robots_meta_flags": _q_robots_flags,
+        "bloom_dedup_against_history": _q_bloom_dedup_against,
         # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
@@ -3370,6 +3387,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM n ORDER BY doc_id"
         ),
         "dedup_against_history": (
+            "WITH h AS (SELECT DISTINCT md5(text) AS _h FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "b AS (SELECT doc_id, md5(text) AS _h FROM documents "
+            "WHERE doc_id % 2 = 1), "
+            "s AS (SELECT doc_id, _h FROM b "
+            "WHERE _h NOT IN (SELECT _h FROM h)) "
+            "SELECT min(doc_id) AS doc_id, _h AS text_md5 FROM s "
+            "GROUP BY _h ORDER BY doc_id"
+        ),
+        # the Bloom prefilter is output-invariant: identical oracle
+        "bloom_dedup_against_history": (
             "WITH h AS (SELECT DISTINCT md5(text) AS _h FROM documents "
             "WHERE doc_id % 2 = 0), "
             "b AS (SELECT doc_id, md5(text) AS _h FROM documents "

@@ -454,6 +454,99 @@ def dedup_against(df: DataFrame, history: DataFrame,
     return survivors.join(keep, ["_h", key], "left_semi").drop("_h")
 
 
+def _bloom_build(hashes, n_bits: int, k: int):
+    """uint64-packed Bloom bitset over 64-bit hashes; the k index
+    functions re-mix the hash with splitmix64 round constants
+    (public), so no second hash pass over the data is needed."""
+    import numpy as np
+
+    bits = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    for i in range(k):
+        idx = _bloom_idx(h, i, n_bits)
+        np.bitwise_or.at(bits, idx >> 6,
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bits
+
+
+def _bloom_idx(h, i: int, n_bits: int):
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = h + np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+    return x % np.uint64(n_bits)
+
+
+def _bloom_probe(bits, hashes, n_bits: int, k: int):
+    """Boolean membership mask (no false negatives, tunable FPs)."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    mask = np.ones(len(h), dtype=bool)
+    for i in range(k):
+        idx = _bloom_idx(h, i, n_bits)
+        mask &= (bits[(idx >> 6).astype(np.int64)]
+                 >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return mask
+
+
+def bloom_dedup_against(df: DataFrame, history: DataFrame,
+                        text_col: str = "text", key: str = "doc_id",
+                        n_bits: int | None = None, k: int = 4) -> DataFrame:
+    """dedup_against with a BATCH-SIDE Bloom prefilter on the history
+    scan — the memory/shuffle story at 10^12 committed documents.
+
+    dedup_against distincts the FULL history hash column every batch:
+    at 10^12 keys that is a corpus-wide shuffle per micro-batch. The
+    batch is tiny by comparison, so invert the probe: build a Bloom
+    filter over the batch's xxhash64 text hashes (~12 bits/key → a
+    10^7-doc batch is a 15 MB broadcast), scan history keeping only
+    bloom-POSITIVE rows (one cheap long hash per row, executor-local,
+    no shuffle), and run the exact md5 anti-join on that sliver.
+    Bloom false positives only admit EXTRA history rows into the exact
+    join, and a Bloom filter has no false negatives, so the output is
+    ROW-IDENTICAL to dedup_against at any n_bits (the pytest pins
+    equality under an adversarially tiny filter); md5 — the expensive
+    hash — is computed only for bloom-positive candidates.
+
+    The batch hash set is collected to the driver to build the filter
+    (the standard pattern; a batch is micro by definition). Sizing:
+    n_bits defaults to ~12 bits per distinct batch hash (FP ~0.3% at
+    k=4)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    batch_hashes = np.array(
+        [r[0] for r in
+         df.select(F.xxhash64(F.col(text_col))).distinct().collect()],
+        dtype=np.int64)
+    n = max(len(batch_hashes), 1)
+    if n_bits is None:
+        n_bits = max(1024, 1 << int(np.ceil(np.log2(n * 12.0))))
+    bits = _bloom_build(batch_hashes, n_bits, k)
+    bc = spark.sparkContext.broadcast(bits)
+
+    def probe(it):
+        for pdf in it:
+            mask = _bloom_probe(bc.value, pdf["_xh"].to_numpy(),
+                                n_bits, k)
+            yield pdf[mask]
+
+    hist_cand = (
+        history.select(F.col(text_col).alias("_t"),
+                       F.xxhash64(F.col(text_col)).alias("_xh"))
+        .mapInPandas(probe, schema="_t string, _xh bigint")
+    )
+    hist_h = hist_cand.select(F.md5(F.col("_t")).alias("_h")).distinct()
+    new_h = df.withColumn("_h", F.md5(F.col(text_col)))
+    survivors = new_h.join(hist_h, "_h", "left_anti")
+    keep = survivors.groupBy("_h").agg(F.min(key).alias(key))
+    return survivors.join(keep, ["_h", key], "left_semi").drop("_h")
+
+
 def near_dedup_against(df: DataFrame, history: DataFrame,
                        text_col: str = "text", key: str = "doc_id",
                        threshold: float = 0.8,

@@ -42,6 +42,51 @@ def test_dedup_against_history(spark):
     assert kept == [2, 4]
 
 
+def test_bloom_dedup_against_matches_exact(spark):
+    """The Bloom prefilter must be output-invariant: row-identical to
+    dedup_against even under an adversarially tiny filter (every
+    history row a false positive) and a huge one (no candidates except
+    true hits). No-false-negatives is the load-bearing property."""
+    import random
+
+    from docling_eval_spark.operators.dedup import (
+        bloom_dedup_against, dedup_against)
+
+    rng = random.Random(5)
+    texts = [f"doc body {i} " + " ".join(
+        rng.choices("abcdefgh", k=6)) for i in range(60)]
+    history = spark.createDataFrame(
+        [(1000 + i, texts[i]) for i in range(0, 40)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(i, texts[rng.randrange(60)]) for i in range(25)]
+        + [(90, texts[3]), (91, texts[3])],   # within-batch family
+        ["doc_id", "text"])
+
+    want = sorted(tuple(r) for r in dedup_against(batch, history).collect())
+    for n_bits in (64, None, 1 << 20):        # tiny -> default -> huge
+        got = sorted(tuple(r) for r in bloom_dedup_against(
+            batch, history, n_bits=n_bits).collect())
+        assert got == want, n_bits
+
+
+def test_bloom_build_probe_properties():
+    import numpy as np
+
+    from docling_eval_spark.operators.dedup import _bloom_build, _bloom_probe
+
+    rng = np.random.RandomState(2)
+    inserted = rng.randint(-2**63, 2**63 - 1, 5000, dtype=np.int64)
+    others = rng.randint(-2**63, 2**63 - 1, 5000, dtype=np.int64)
+    others = np.setdiff1d(others, inserted)
+    n_bits = 1 << 16  # ~13 bits/key
+    bits = _bloom_build(inserted, n_bits, k=4)
+    # NO false negatives — the correctness-bearing property
+    assert _bloom_probe(bits, inserted, n_bits, 4).all()
+    # false positives bounded (expected ~0.3% at 13 bits/key, k=4)
+    fp = _bloom_probe(bits, others, n_bits, 4).mean()
+    assert fp < 0.02, fp
+
+
 def test_near_dedup_against_history(spark):
     from docling_eval_spark.operators.dedup import near_dedup_against
 
