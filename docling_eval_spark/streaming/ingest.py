@@ -76,6 +76,7 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
                        output_path: str, checkpoint_path: str,
                        key: str = "doc_id", text_col: str = "text",
                        near: bool = False, threshold: float = 0.8,
+                       bloom: bool = False,
                        available_now: bool = True) -> StreamingQuery:
     """Steady-state web ingestion: every micro-batch exact-dedups
     against EVERYTHING already committed to the output (plus itself)
@@ -100,10 +101,17 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
     stage (replayed rows hash-match their committed copies); replayed
     NEAR batches also drop against their committed selves because a
     document is a 1.0-Jaccard near-dup of itself.
+
+    With `bloom=True` the exact stage runs through bloom_dedup_against:
+    the micro-batch's hash Bloom filter prunes the committed-history
+    scan executor-locally instead of distinct-ing the full history
+    hash column every trigger — the right mode once the output passes
+    ~10^9 documents (output-invariant; see operators/dedup.py).
     """
     from pyspark.errors import AnalysisException
 
-    from ..operators.dedup import dedup_against, near_dedup_against
+    from ..operators.dedup import (
+        bloom_dedup_against, dedup_against, near_dedup_against)
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         cols = [key, text_col] if near else [text_col]
@@ -116,6 +124,9 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
             kept = near_dedup_against(batch_df, history,
                                       text_col=text_col, key=key,
                                       threshold=threshold)
+        elif bloom:
+            kept = bloom_dedup_against(batch_df, history,
+                                       text_col=text_col, key=key)
         else:
             kept = dedup_against(batch_df, history, text_col=text_col,
                                  key=key)

@@ -140,6 +140,14 @@ class TestStreamingDedupIngest:
         q.awaitTermination(120)
         assert spark.read.parquet(out).count() == 3
 
+        # bloom mode over the same waves from scratch: identical output
+        out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+        q = start_dedup_ingest(spark, landing, out2, ckpt2, bloom=True)
+        q.awaitTermination(120)
+        rows2 = spark.read.parquet(out2).collect()
+        assert {r.doc_id for r in rows2} == {1, 3, 11}
+        assert sorted(r.text for r in rows2) == ["alpha", "beta", "gamma"]
+
 
 class TestStreamingCurationIngest:
     def test_quality_gates_then_dedup_per_batch(self, spark, tmp_path):
