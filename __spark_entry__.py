@@ -1399,7 +1399,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     corpus = with_scaled_copies(emb)
-    return lsh_near_dup_pairs(corpus, threshold=0.9999).orderBy("a", "b")
+    # pipeline deployments cap hot buckets explicitly (library default
+    # is exhaustive-within-bucket; see lsh_near_dup_pairs docstring)
+    return lsh_near_dup_pairs(corpus, threshold=0.9999,
+                              max_bucket_size=100_000).orderBy("a", "b")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,14 +1659,17 @@ def _q_robots_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_eval_spark.operators.webtext import with_robots_flags
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     meta = (
         F.when(m == 0, F.lit("<meta name='robots' "
                              "content='noindex, nofollow'>"))
         .when(m == 1, F.lit('<META NAME="ROBOTS" CONTENT="NONE">'))
         .when(m == 2, F.lit("<meta name='robots' content='index,follow'>"))
         .when(m == 3, F.lit(""))
-        .otherwise(F.lit("<meta name=robots content=nofollow>")))
+        .when(m == 4, F.lit("<meta name=robots content=nofollow>"))
+        # content attribute BEFORE name — legal HTML that a single
+        # name-then-content regex silently misses
+        .otherwise(F.lit('<meta content="noindex" name="robots">')))
     pages = docs.withColumn(
         "html", F.encode(F.concat(
             F.lit("<html><head>"), meta,
@@ -2394,7 +2400,8 @@ def _q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = emb.unionByName(scaled(2.0, 1_000_000_000)) \
         .unionByName(scaled(0.5, 2_000_000_000))
-    pairs = lsh_near_dup_pairs(aug, threshold=0.9999)
+    pairs = lsh_near_dup_pairs(aug, threshold=0.9999,
+                               max_bucket_size=100_000)
     comps = dup_components(pairs.select("a", "b"))
     return (
         aug.select("vec_id")
@@ -3921,9 +3928,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition_full": _gopher_repetition_oracle(),
         "robots_meta_flags": (
             "SELECT doc_id, "
-            "doc_id % 5 IN (0, 1) AS robots_noindex, "
-            "doc_id % 5 IN (0, 1, 4) AS robots_nofollow, "
-            "doc_id % 5 NOT IN (0, 1) AS robots_keep "
+            "doc_id % 6 IN (0, 1, 5) AS robots_noindex, "
+            "doc_id % 6 IN (0, 1, 4) AS robots_nofollow, "
+            "doc_id % 6 NOT IN (0, 1, 5) AS robots_keep "
             "FROM documents ORDER BY doc_id"
         ),
         "perplexity_buckets": (

@@ -37,6 +37,14 @@ EXTRACT_SCHEMA = (
 )
 
 
+def extract_schema(key_dtype: str = "bigint") -> str:
+    """EXTRACT_SCHEMA with the doc_id dtype matched to the caller's key
+    column — WARC-derived corpora use a 128-bit md5 hex STRING id (a
+    64-bit id collides at 10^12 docs), synthetic corpora a bigint; a
+    hardcoded bigint would Arrow-TypeError string keys in the executor."""
+    return EXTRACT_SCHEMA.replace("doc_id bigint", f"doc_id {key_dtype}", 1)
+
+
 def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out = {
@@ -81,5 +89,6 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     if "doc_id" not in pages.columns:
         pages = pages.withColumn("doc_id", F.lit(-1).cast("bigint"))
     return pages.select("doc_id", *required).mapInPandas(
-        _extract_batches, schema=EXTRACT_SCHEMA
+        _extract_batches,
+        schema=extract_schema(dict(pages.dtypes)["doc_id"]),
     )

@@ -208,7 +208,7 @@ def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int | None = None, n_planes: int | None = None,
                        seed: int = 7,
-                       max_bucket_size: int | None = 100_000) -> DataFrame:
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup: all pairs (a < b) with cosine >= threshold,
     candidates restricted to equal random-hyperplane LSH buckets.
 
@@ -224,27 +224,38 @@ def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
         bucket whose membership exceeds the cap (the same degenerate-
         bucket guard as dedup._drop_hot_buckets; the hot set is tiny and
         broadcasts). Use embedding_hot_buckets(...) with identical
-        parameters for the drop accounting; pass max_bucket_size=None to
-        disable (exhaustive small-corpus runs, tests).
+        parameters for the drop accounting. The library default is
+        max_bucket_size=None — EXHAUSTIVE within buckets — because a
+        silent cap changes callers' output; corpus-scale deployments
+        MUST pass a cap (100_000 is the pipeline default, see
+        __spark_entry__ embedding_near_dup) or a single degenerate
+        bucket goes quadratic. When a cap is set, the signature GEMM is
+        persisted and the cache feeds the returned plan: release it
+        with operators.caching.release_caches(result) after consuming
+        (long-lived sessions accumulate one cached frame per call
+        otherwise).
 
     Parallel vectors hash to identical signatures, so exact-duplicate
     (including scaled) pairs are ALWAYS candidates — unless their whole
     family exceeds the cap, in which case collapsing exact duplicates
     FIRST (as dedup.near_dedup does) is the supported pattern.
     """
+    from .caching import track_caches
     from .dedup import _drop_hot_buckets
 
     v, _ = _signed_corpus(corpus, id_col, vec_col, dim, n_planes, seed)
+    sig_cache = None
     if max_bucket_size is not None:
         # the signed frame feeds the hot-bucket aggregate, the anti-join
         # AND both sides of the self-join: materialize the signature GEMM
         # once in its own job (persist alone does not stop concurrent
         # first computations racing — see operators/dedup.py)
         v = v.persist()
+        sig_cache = v
         v.count()
     v = _drop_hot_buckets(v, max_bucket_size, bucket_cols=("bucket",))
     l, r = v.alias("l"), v.alias("r")
-    return (
+    out = (
         l.join(r, on="bucket")
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
@@ -252,6 +263,7 @@ def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9999,
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+    return track_caches(out, sig_cache) if sig_cache is not None else out
 
 
 # -- IVF (inverted-file) approximate nearest neighbor ------------------------

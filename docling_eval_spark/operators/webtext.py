@@ -127,8 +127,9 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
     text-splitting subtree executes exactly once (a persist alone does
     not stop concurrent first computations racing — see
     operators/dedup.py). The per-doc keep_pos frame stays persisted in
-    the returned plan; release it with `.unpersist()`/clearCache when
-    the result is consumed.
+    the returned plan; release it with
+    operators.caching.release_caches(result) when the result is
+    consumed.
 
     First occurrence = minimum of (key * LINE_STRIDE + position):
     document order then line order, fully deterministic. This packing
@@ -180,7 +181,7 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
     text = F.when(F.col("_keep_pos").isNull(), F.lit("")).otherwise(
         F.concat_ws(sep, F.transform(
             F.col("_keep_pos"), lambda p: F.element_at(arr, p + 1))))
-    return (
+    out = (
         src.join(kept_pos, key, "left")
         .select(
             key,
@@ -190,6 +191,10 @@ def corpus_line_dedup(df: DataFrame, key: str = "doc_id",
             text.alias("text"),
         )
     )
+    if persist_intermediate:
+        from .caching import track_caches
+        out = track_caches(out, kept_pos)
+    return out
 
 
 def with_gopher_quality(df: DataFrame, text_col: str = "text",
@@ -455,6 +460,8 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
                     lambda acc, x: acc + x))
     if persist_intermediate:
         split = split.persist()
+    _split_cache = split       # the persisted frame: later rebinds derive
+    if persist_intermediate:
         split.count()
     base = split.select(key, "word_chars")
 
@@ -537,7 +544,9 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
     if persist_intermediate:
         counts = counts.persist()
         counts.count()
-        occ.unpersist()
+        # occ stays cached: the duplicate-coverage branch below is its
+        # second consumer — releasing it here would re-run the whole
+        # 9-size gram explode for that branch
 
     top = (counts.where(F.col("n") <= 4)
            .groupBy(key, "n")
@@ -569,6 +578,13 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
         .groupBy(key, "n").agg(F.sum("wl").alias("cov")))
     cpvt = cov_chars.groupBy(key).pivot("n", [5, 6, 7, 8, 9, 10]) \
         .agg(F.first("cov"))
+    if persist_intermediate:
+        # materialize the coverage pivot (per-doc, <= 7 narrow columns)
+        # so the gram-occurrence cache can be released here — cpvt was
+        # occ's last consumer
+        cpvt = cpvt.persist()
+        cpvt.count()
+        occ.unpersist()
 
     out = (base.join(upvt, key, "left")
            .join(tpvt, key, "left")
@@ -592,7 +608,14 @@ def full_repetition_stats(df: DataFrame, key: str = "doc_id",
     for col, thr in thresholds.items():
         bad = F.coalesce(F.col(col), F.lit(0.0)) > thr
         cond = bad if cond is None else (cond | bad)
-    return out.withColumn("gopher_repetition_pass", ~cond)
+    out = out.withColumn("gopher_repetition_pass", ~cond)
+    if persist_intermediate:
+        # split (word/line/para arrays), counts (gram counts) and cpvt
+        # still feed the returned plan: callers release them with
+        # operators.caching.release_caches once the result is consumed
+        from .caching import track_caches
+        out = track_caches(out, _split_cache, counts, cpvt)
+    return out
 
 
 C4_TERMINAL_RE = '[.!?"]$'
@@ -1043,9 +1066,11 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
     # consume this frame; materialize the cache in its own job first so
     # the text split runs once, not once per consumer.
     toks = toks.persist()
+    _tok_cache = toks          # the persisted frame: later rebinds derive
     toks.count()
     lo, hi = toks.agg(F.min(key), F.max(key)).first()
     if lo is None:
+        toks.unpersist()    # empty input: nothing to share
         return toks.select(
             key, "n_tokens",
             F.lit(0).cast("long").alias("tok_start"),
@@ -1084,8 +1109,11 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
                    F.col("seq_last") - F.col("seq_first") + 1)
             .otherwise(F.lit(0)))
     )
-    return out.select(key, "n_tokens", "tok_start",
-                      "seq_first", "seq_last", "n_seqs")
+    from .caching import track_caches
+    return track_caches(
+        out.select(key, "n_tokens", "tok_start",
+                   "seq_first", "seq_last", "n_seqs"),
+        _tok_cache)
 
 
 def select_token_budget(df: DataFrame, budget: int,
@@ -1138,10 +1166,12 @@ def select_token_budget(df: DataFrame, budget: int,
     toks = df.withColumn(
         "n_tokens", F.size(_words(F.col(text_col))).cast("long"))
     toks = toks.persist()
+    _tok_cache = toks          # the persisted frame: later rebinds derive
     toks.count()
     lo, hi, klo, khi = toks.agg(
         F.min(score_col), F.max(score_col), F.min(key), F.max(key)).first()
     if lo is None:
+        toks.unpersist()    # empty input: nothing to share
         return toks.withColumn("tok_before", F.lit(0).cast("long"))
     span = float(hi) - float(lo)
     width = span / n_buckets if span > 0 else 1.0
@@ -1221,12 +1251,13 @@ def select_token_budget(df: DataFrame, budget: int,
         F.col(score_col).desc(), F.col(key).asc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = (F.col("_off") + F.sum("n_tokens").over(w)).cast("long")
-    return (
+    from .caching import track_caches
+    return track_caches(
         toks.join(F.broadcast(off_df), "_p")
         .withColumn("tok_before", cum - F.col("n_tokens"))
         .where(F.col("tok_before") < F.lit(int(budget)))
-        .drop(*drop_cols)
-    )
+        .drop(*drop_cols),
+        _tok_cache)
 
 
 def epoch_shuffle(df: DataFrame, key: str = "doc_id", seed: int = 0,
@@ -1416,9 +1447,12 @@ def url_dedup(df: DataFrame, key: str = "doc_id",
             .drop("_win"))
 
 
-ROBOTS_META_RE = (
-    r'(?is)<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*'
-    r'content\s*=\s*["\']?([^"\'>]*)')
+# two-step: first isolate the whole <meta ...> tag whose attributes
+# contain name=robots ANYWHERE (HTML puts name/content in either order),
+# then pull content= out of that tag — a single name-then-content regex
+# silently misses <meta content="noindex" name="robots">
+ROBOTS_META_TAG_RE = r'(?is)(<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*>)'
+ROBOTS_META_CONTENT_RE = r'(?is)content\s*=\s*["\']?([^"\'>]*)'
 
 
 def with_robots_flags(df: DataFrame, html_col: str = "html",
@@ -1429,13 +1463,14 @@ def with_robots_flags(df: DataFrame, html_col: str = "html",
     at curation time since the crawler cannot see the tag before
     fetching). Native expressions over the raw html bytes: the content
     attribute of the robots meta tag is regexp-extracted
-    case-insensitively, `noindex` / `none` set robots_noindex,
+    case-insensitively (tag isolated first so name/content attribute
+    order does not matter), `noindex` / `none` set robots_noindex,
     `nofollow` / `none` set robots_nofollow, and robots_keep is the
     curation predicate. Runs at scan speed; the html column is read
     anyway by the extraction stage, so the flag is free."""
     h = F.col(html_col)
-    content = F.lower(F.regexp_extract(
-        h.cast("string"), ROBOTS_META_RE, 1))
+    tag = F.regexp_extract(h.cast("string"), ROBOTS_META_TAG_RE, 1)
+    content = F.lower(F.regexp_extract(tag, ROBOTS_META_CONTENT_RE, 1))
     noindex = content.rlike("(noindex|none)")
     nofollow = content.rlike("(nofollow|none)")
     return (df.withColumn(f"{out_prefix}noindex", noindex)

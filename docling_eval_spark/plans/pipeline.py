@@ -78,10 +78,11 @@ def score_extractions(extracted: DataFrame, full_metrics: bool = True) -> DataFr
     """Per-doc scored rows: byte_identical natively (JVM) + metric suite
     appended by a passthrough mapInPandas (no join, no UDF recompute)."""
     if full_metrics:
-        from ..extraction.extract import EXTRACT_SCHEMA
+        from ..extraction.extract import extract_schema
 
+        base = extract_schema(dict(extracted.dtypes)["doc_id"])
         extracted = extracted.mapInPandas(
-            _score_batches, schema=f"{EXTRACT_SCHEMA}, {_SCORE_SCHEMA}"
+            _score_batches, schema=f"{base}, {_SCORE_SCHEMA}"
         )
     return extracted.withColumn(
         "byte_identical", F.col("extracted_text") == F.col("text")

@@ -194,9 +194,13 @@ def start_curation_ingest(spark: SparkSession, input_path: str,
         kept = dedup_against(redacted, history, text_col=text_col,
                              key=key).persist()
         n_committed = kept.count()  # materialize before the append
-        kept.write.mode("append").parquet(output_path)
-        redacted.unpersist()
-        kept.unpersist()
+        # stats row FIRST, output append second: if the job dies between
+        # the two, the replayed batch re-commits the identical survivors
+        # (deterministic gates, unchanged history) and skips the stats
+        # row by batch_id — both crash orders leave correct counts. The
+        # reverse order (output first) would let a replay dedup
+        # everything against its own committed copies and record
+        # n_committed=0 for the batch.
         if stats_path:
             try:
                 seen = sess.read.parquet(stats_path) \
@@ -209,6 +213,9 @@ def start_curation_ingest(spark: SparkSession, input_path: str,
                     "batch_id long, n_input long, n_quality long, "
                     "n_committed long").write.mode("append") \
                     .parquet(stats_path)
+        kept.write.mode("append").parquet(output_path)
+        redacted.unpersist()
+        kept.unpersist()
 
     writer = (
         stream_pages(spark, input_path)

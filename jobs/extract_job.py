@@ -74,9 +74,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         from docling_eval_spark.sources.binary_files import read_binary_files
         from docling_eval_spark.sources.warc import warc_records
 
+        from docling_eval_spark.operators.webtext import latest_snapshot
+
         recs = warc_records(read_binary_files(spark, args.input_warc))
-        pages = recs.select(
-            F.xxhash64("url").alias("doc_id"), "url", "warc_ts", "html",
+        # recrawled URLs are routine in raw WARC input: collapse to the
+        # newest snapshot per url FIRST so doc_id is a genuine unique
+        # key, then derive it as the 128-bit md5 of the url (hex string
+        # — at 10^12 docs a 64-bit hash mathematically guarantees
+        # cross-document collisions, breaking downstream dedup/joins
+        # that assume doc_id is unique)
+        one = latest_snapshot(recs.select("url", "warc_ts", "html"),
+                              key="url")
+        pages = one.select(
+            F.md5(F.col("url").cast("binary")).alias("doc_id"),
+            "url", "warc_ts", "html",
             F.lit("").alias("text"), F.lit("").alias("lang"))
         if args.checkpoint_resume:
             pages = resume_filter(pages, spark, args.output, key="url")

@@ -113,6 +113,45 @@ class TestWarcRecordsSpark:
                  stop_session=False)
         assert spark.read.parquet(out).count() == 4  # idempotent
 
+    def test_extract_job_warc_recrawls_collapse(self, spark, tmp_path):
+        """Recrawled URLs are routine in raw WARC input: the job must
+        collapse them to the newest snapshot BEFORE assigning doc_id,
+        and the id must be the 128-bit md5 of the url (a 64-bit hash
+        guarantees collisions at 10^12 docs)."""
+        from docling_eval_spark.sources.warc import build_warc
+        from jobs.extract_job import main as job_main
+
+        arch = tmp_path / "crawl"
+        arch.mkdir()
+
+        def body(tag: str) -> bytes:
+            return (f"<html><body><div><p>snapshot {tag} "
+                    + "content words here " * 25
+                    + "</p></div></body></html>").encode()
+
+        # two urls, one recrawled twice — 5 records, 2 documents
+        recs = [("https://r.example/a", _dt(10), body("old")),
+                ("https://r.example/a", _dt(30), body("new")),
+                ("https://r.example/a", _dt(20), body("mid")),
+                ("https://r.example/b", _dt(10), body("only")),
+                ("https://r.example/b", _dt(5), body("stale"))]
+        (arch / "a.warc.gz").write_bytes(build_warc(recs))
+        out = str(tmp_path / "out")
+        job_main(["--input-warc", str(arch), "--output", out,
+                  "--lineage", str(tmp_path / "lineage"),
+                  "--run-id", "rc1", "--partitions", "4"],
+                 stop_session=False)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 2                       # one per url
+        by_url = {r.url: r for r in rows}
+        assert "snapshot new" in by_url["https://r.example/a"].extracted_text
+        assert "snapshot only" in by_url["https://r.example/b"].extracted_text
+        ids = {r.doc_id for r in rows}
+        assert len(ids) == 2
+        import hashlib
+        assert by_url["https://r.example/a"].doc_id == hashlib.md5(
+            b"https://r.example/a").hexdigest()     # 128-bit, derivable
+
     def test_warc_to_extraction_byte_identical(self, spark, tmp_path):
         """The ingestion edge feeds the flagship extractor: archive ->
         (url, warc_ts, html) -> extract_pages, and the extracted main

@@ -388,6 +388,9 @@ def test_with_robots_flags(spark):
         (3, b"<html><head><meta name='robots' content='index, follow'>x"),
         (4, b"<html><body>no meta at all</body></html>"),
         (5, b"<meta name=robots content=nofollow>"),   # unquoted attrs
+        # content attribute BEFORE name: legal HTML a name-then-content
+        # regex silently keeps — a compliance false negative
+        (6, b'<html><head><meta content="noindex" name="robots"></head>x'),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "html"])
     out = {r.doc_id: r for r in with_robots_flags(df).collect()}
@@ -398,6 +401,8 @@ def test_with_robots_flags(spark):
     assert not out[4].robots_noindex and out[4].robots_keep
     assert not out[5].robots_noindex and out[5].robots_nofollow
     assert out[5].robots_keep
+    assert out[6].robots_noindex and not out[6].robots_nofollow
+    assert not out[6].robots_keep
 
 
 def test_normalize_url_canonical_forms(spark):
