@@ -1939,17 +1939,17 @@ def _q_kv_graph_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 range slice: deterministic order + row_number window filter."""
-    from pyspark.sql import Window
+    """P1 range slice: deterministic order, sliced by the distributed
+    prefix-sum rank (operators/slicing.py) — byte-identical to the
+    oracle's global row_number window with no single-partition
+    exchange in the plan."""
+    from docling_eval_spark.operators.slicing import range_slice
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.orderBy("doc_id")
-    return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
-        .where((F.col("rn") > 100) & (F.col("rn") <= 120))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
+    return (range_slice(docs, 100, 120, key="doc_id")
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -461,11 +461,58 @@ def _bloom_build(hashes, n_bits: int, k: int):
     import numpy as np
 
     bits = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    _bloom_set(bits, hashes, n_bits, k)
+    return bits
+
+
+def _bloom_set(bits, hashes, n_bits: int, k: int) -> None:
+    """OR the k index bits of each hash into an existing bitset."""
+    import numpy as np
+
     h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
     for i in range(k):
         idx = _bloom_idx(h, i, n_bits)
         np.bitwise_or.at(bits, idx >> 6,
                          np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_build_distributed(hashes_df: DataFrame, n_bits: int, k: int):
+    """Executor-side Bloom construction: each partition builds a LOCAL
+    bitset over its hashes and emits only the non-zero 64-bit words as
+    sparse (word_index, word) rows; a bit_or groupBy reduces partials
+    across partitions map-side, and the driver assembles the final
+    bitset from at most n_bits/64 rows — its memory bound is the
+    BITMAP size (what it must broadcast anyway), never the batch size.
+    The per-partition sparse emission keeps the shuffle bounded by
+    min(k * batch_rows, n_bits/64) words regardless of partitioning.
+
+    `hashes_df` must be a single bigint column named `_xh`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_words = (n_bits + 63) // 64
+
+    def partials(it):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        seen = False
+        for pdf in it:
+            if len(pdf):
+                seen = True
+                _bloom_set(bits, pdf["_xh"].to_numpy(), n_bits, k)
+        if seen:
+            nz = np.nonzero(bits)[0]
+            yield pd.DataFrame({"widx": nz.astype(np.int64),
+                                "wbits": bits[nz].view(np.int64)})
+
+    words = (hashes_df.mapInPandas(partials, schema="widx long, wbits long")
+             .groupBy("widx").agg(F.bit_or("wbits").alias("wbits"))
+             .collect())
+    bits = np.zeros(n_words, dtype=np.uint64)
+    if words:
+        idx = np.array([r["widx"] for r in words], dtype=np.int64)
+        val = np.array([r["wbits"] for r in words], dtype=np.int64)
+        bits[idx] = val.view(np.uint64)
     return bits
 
 
@@ -512,21 +559,22 @@ def bloom_dedup_against(df: DataFrame, history: DataFrame,
     equality under an adversarially tiny filter); md5 — the expensive
     hash — is computed only for bloom-positive candidates.
 
-    The batch hash set is collected to the driver to build the filter
-    (the standard pattern; a batch is micro by definition). Sizing:
-    n_bits defaults to ~12 bits per distinct batch hash (FP ~0.3% at
-    k=4)."""
+    The filter is built EXECUTOR-SIDE (_bloom_build_distributed):
+    per-partition sparse bitmap partials bit_or-reduced, so the driver
+    only ever holds the final bitset it must broadcast — there is no
+    batch-size driver bound (the earlier design collected the batch's
+    distinct hashes). Sizing: n_bits defaults to ~12 bits per distinct
+    batch hash (FP ~0.3% at k=4), the distinct count taken
+    approximately (sizing only — equality holds at ANY n_bits)."""
     import numpy as np
 
     spark = df.sparkSession
-    batch_hashes = np.array(
-        [r[0] for r in
-         df.select(F.xxhash64(F.col(text_col))).distinct().collect()],
-        dtype=np.int64)
-    n = max(len(batch_hashes), 1)
     if n_bits is None:
+        n = max(int(df.agg(F.approx_count_distinct(
+            F.xxhash64(F.col(text_col)))).first()[0]), 1)
         n_bits = max(1024, 1 << int(np.ceil(np.log2(n * 12.0))))
-    bits = _bloom_build(batch_hashes, n_bits, k)
+    bits = _bloom_build_distributed(
+        df.select(F.xxhash64(F.col(text_col)).alias("_xh")), n_bits, k)
     bc = spark.sparkContext.broadcast(bits)
 
     def probe(it):
@@ -550,7 +598,8 @@ def bloom_dedup_against(df: DataFrame, history: DataFrame,
 def near_dedup_against(df: DataFrame, history: DataFrame,
                        text_col: str = "text", key: str = "doc_id",
                        threshold: float = 0.8,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       history_sigs: DataFrame | None = None) -> DataFrame:
     """Incremental NEAR-dedup of a new batch against an existing
     corpus — the steady-state form of near_dedup, in three stages:
 
@@ -568,8 +617,20 @@ def near_dedup_against(df: DataFrame, history: DataFrame,
 
     Requires batch and history key spaces to be disjoint (true for
     crawl-assigned global ids; the verify join unions both sides).
-    History signatures would be precomputed once and stored in a real
-    deployment — recomputing here keeps the operator self-contained.
+
+    `history_sigs` is the steady-state scale lever: a persisted
+    (key, sig) table produced by minhash_signatures WITH THE SAME
+    text/key semantics (the signature family is deterministic, so a
+    table written at ingest time probes identically forever). Without
+    it the operator re-runs the minhash Python stage over the FULL
+    history — one extra scan in batch form, but a per-trigger
+    O(history) GEMM when called from a streaming loop at a 10^12-doc
+    committed corpus. With it, history text is touched only by (a) the
+    exact stage's hash projection and (b) the Jaccard verify, which
+    materializes grams solely for candidate-pair members (semi-join
+    first — see ngram_jaccard_verify). start_dedup_ingest maintains
+    this table incrementally (signatures_path). Output is
+    row-identical either way (pinned by pytest).
 
     Stage boundaries use localCheckpoint, not persist: each later
     stage embeds the earlier frame's LOGICAL subtree several times
@@ -582,7 +643,8 @@ def near_dedup_against(df: DataFrame, history: DataFrame,
     reps = dedup_against(df, history, text_col=text_col, key=key)
     reps = reps.localCheckpoint()
     bsig = minhash_signatures(reps, text_col, key)
-    hsig = minhash_signatures(history, text_col, key)
+    hsig = (history_sigs.select(key, "sig") if history_sigs is not None
+            else minhash_signatures(history, text_col, key))
     bb = _drop_hot_buckets(
         banded_signatures(bsig, [key]), max_bucket_size)
     hb = _drop_hot_buckets(

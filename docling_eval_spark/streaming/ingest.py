@@ -77,6 +77,7 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
                        key: str = "doc_id", text_col: str = "text",
                        near: bool = False, threshold: float = 0.8,
                        bloom: bool = False,
+                       signatures_path: str | None = None,
                        available_now: bool = True) -> StreamingQuery:
     """Steady-state web ingestion: every micro-batch exact-dedups
     against EVERYTHING already committed to the output (plus itself)
@@ -94,13 +95,24 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
 
     With `near=True` the batch additionally minhash-probes the
     committed corpus and drops near-duplicate recrawls at >= threshold
-    (near_dedup_against). That stage needs history KEYS and TEXT —
-    a real deployment stores the minhash signature column at ingest so
-    each batch probes signatures, not text; here the history re-read
-    keeps the sandbox self-contained. Idempotency holds for the exact
-    stage (replayed rows hash-match their committed copies); replayed
-    NEAR batches also drop against their committed selves because a
+    (near_dedup_against). Idempotency holds for the exact stage
+    (replayed rows hash-match their committed copies); replayed NEAR
+    batches also drop against their committed selves because a
     document is a 1.0-Jaccard near-dup of itself.
+
+    `signatures_path` (near mode) is the steady-state scale switch: a
+    parquet (key, sig) table of the committed corpus's minhash
+    signatures, maintained INCREMENTALLY here — each trigger appends
+    the surviving batch rows' signatures, so the next trigger probes
+    stored signatures instead of re-running the minhash stage over the
+    full history text (an O(history) Python GEMM per trigger at a
+    10^12-doc corpus without it). Output is row-identical with or
+    without the store (near_dedup_against pins this). Write order is
+    signatures BEFORE output: a crash between the two makes the replay
+    re-append the same signature rows (duplicate (key, sig) rows are
+    benign — the LSH probe just sees duplicate candidates, collapsed
+    by its distinct), while the reverse order would leave committed
+    documents invisible to the signature probe — silent false keeps.
 
     With `bloom=True` the exact stage runs through bloom_dedup_against:
     the micro-batch's hash Bloom filter prunes the committed-history
@@ -111,19 +123,37 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
     from pyspark.errors import AnalysisException
 
     from ..operators.dedup import (
-        bloom_dedup_against, dedup_against, near_dedup_against)
+        bloom_dedup_against, dedup_against, minhash_signatures,
+        near_dedup_against)
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
         cols = [key, text_col] if near else [text_col]
         try:
-            history = batch_df.sparkSession.read.parquet(
-                output_path).select(*cols)
+            history = sess.read.parquet(output_path).select(*cols)
         except AnalysisException:  # first batch: no output yet
             history = batch_df.select(*cols).limit(0)
         if near:
+            hist_sigs = None
+            if signatures_path:
+                try:
+                    hist_sigs = sess.read.parquet(signatures_path)
+                except AnalysisException:  # first batch: no store yet
+                    hist_sigs = minhash_signatures(
+                        batch_df.limit(0), text_col, key)
             kept = near_dedup_against(batch_df, history,
                                       text_col=text_col, key=key,
-                                      threshold=threshold)
+                                      threshold=threshold,
+                                      history_sigs=hist_sigs)
+            if signatures_path:
+                # maintain the store: survivors' signatures land BEFORE
+                # the output append (see docstring for the crash-order
+                # argument); kept is persisted so the dedup pipeline
+                # runs once across the two writes
+                kept = kept.persist()
+                kept.count()
+                minhash_signatures(kept, text_col, key) \
+                    .write.mode("append").parquet(signatures_path)
         elif bloom:
             kept = bloom_dedup_against(batch_df, history,
                                        text_col=text_col, key=key)
@@ -131,6 +161,8 @@ def start_dedup_ingest(spark: SparkSession, input_path: str,
             kept = dedup_against(batch_df, history, text_col=text_col,
                                  key=key)
         kept.write.mode("append").parquet(output_path)
+        if near and signatures_path:
+            kept.unpersist()
 
     writer = (
         stream_pages(spark, input_path)

@@ -87,6 +87,30 @@ def test_bloom_build_probe_properties():
     assert fp < 0.02, fp
 
 
+def test_bloom_distributed_build_equals_local(spark):
+    """The executor-side sparse-partial build must produce a bitset
+    IDENTICAL to the single-pass local build, at any partitioning
+    (1 partition, many partitions, partitions that share words)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docling_eval_spark.operators.dedup import (
+        _bloom_build, _bloom_build_distributed)
+
+    rng = np.random.RandomState(11)
+    hashes = rng.randint(-2**63, 2**63 - 1, 3000, dtype=np.int64)
+    for n_bits in (1 << 10, 1 << 16):
+        want = _bloom_build(hashes, n_bits, k=4)
+        for parts in (1, 7, 32):
+            df = spark.createDataFrame(
+                [(int(h),) for h in hashes], "_xh long").repartition(parts)
+            got = _bloom_build_distributed(df, n_bits, k=4)
+            assert np.array_equal(got, want), (n_bits, parts)
+    # empty input: all-zero bitset, no crash
+    empty = spark.createDataFrame([], "_xh long")
+    assert _bloom_build_distributed(empty, 1 << 10, 4).sum() == 0
+
+
 def test_near_dedup_against_history(spark):
     from docling_eval_spark.operators.dedup import near_dedup_against
 
@@ -104,3 +128,38 @@ def test_near_dedup_against_history(spark):
     kept = sorted(r.doc_id
                   for r in near_dedup_against(batch, history).collect())
     assert kept == [3, 6]
+
+
+def test_near_dedup_against_precomputed_signatures(spark):
+    """history_sigs (the steady-state signature store) must be
+    row-identical to the recompute path — including extra columns in
+    the store (only key+sig are consumed) and a store carrying benign
+    duplicate rows (the crash-replay shape)."""
+    from docling_eval_spark.operators.dedup import (
+        minhash_signatures, near_dedup_against)
+
+    t_hist = "the quick brown fox jumps over the lazy dog end"
+    t_hist2 = "another committed page with its own unique words inside"
+    t_new = "completely different words here about other topics now"
+    history = spark.createDataFrame(
+        [(100, t_hist), (102, t_hist2)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, t_hist), (2, t_hist + " xdup"), (3, t_new), (4, t_new),
+         (5, t_hist2 + " tail tail"), (6, "unrelated short")],
+        ["doc_id", "text"])
+    base = sorted(r.doc_id
+                  for r in near_dedup_against(batch, history).collect())
+    sigs = minhash_signatures(history, "text", "doc_id")
+    with_store = sorted(
+        r.doc_id for r in near_dedup_against(
+            batch, history, history_sigs=sigs).collect())
+    assert with_store == base
+    # duplicate signature rows (replayed-append shape) plus an extra
+    # column (stores may carry metadata): same output
+    from pyspark.sql import functions as F
+
+    dup_store = sigs.unionByName(sigs).withColumn("extra", F.lit("x"))
+    with_dups = sorted(
+        r.doc_id for r in near_dedup_against(
+            batch, history, history_sigs=dup_store).collect())
+    assert with_dups == base

@@ -243,3 +243,61 @@ class TestStreamingNearDedupIngest:
         q.awaitTermination(180)
         assert {r.doc_id for r in spark.read.parquet(out).collect()} == \
             {1, 2, 11}
+
+    def test_near_mode_signature_store_identical_across_restart(
+            self, spark, tmp_path):
+        """signatures_path maintains the committed corpus's minhash
+        signatures incrementally: three waves (with a checkpoint
+        restart between them) must commit exactly the rows the
+        storeless near mode commits, and the store must end holding
+        one signature row per committed document — the steady-state
+        path where no trigger ever re-signs the full history."""
+        from docling_eval_spark.streaming.ingest import start_dedup_ingest
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        sigs = str(tmp_path / "sigs")
+        cols = ["url", "warc_ts", "html", "text", "lang", "doc_id"]
+        base = "the quick brown fox jumps over the lazy dog end"
+        other = "another page with its own completely separate words inside"
+
+        def page(doc_id, text):
+            import datetime
+            return (f"https://x/{doc_id}",
+                    datetime.datetime(2026, 1, 2), text.encode(),
+                    text, "en", doc_id)
+
+        def run():
+            q = start_dedup_ingest(spark, landing, out, ckpt, near=True,
+                                   signatures_path=sigs)
+            q.awaitTermination(180)
+
+        # wave 1: two fresh docs
+        spark.createDataFrame([page(1, base), page(2, other)], cols) \
+            .coalesce(1).write.mode("append").parquet(landing)
+        run()
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+        # wave 2 (fresh query = the restart): near recrawl of 1, exact
+        # recrawl of 2, one new doc
+        spark.createDataFrame(
+            [page(10, base + " xdup"), page(11, other),
+             page(12, "something wholly new arrives with many more words here")], cols) \
+            .coalesce(1).write.mode("append").parquet(landing)
+        run()
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == \
+            {1, 2, 12}
+
+        # wave 3: near recrawl of the WAVE-2 survivor — provable only
+        # via the store rows appended by wave 2
+        spark.createDataFrame(
+            [page(20, "something wholly new arrives with many more words here today")], cols) \
+            .coalesce(1).write.mode("append").parquet(landing)
+        run()
+        committed = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert committed == {1, 2, 12}      # J=7/8 > 0.8 -> dropped
+        store = spark.read.parquet(sigs).collect()
+        assert {r.doc_id for r in store} == committed
+        assert len(store) == len(committed)  # exactly one row per doc
+        assert all(len(r.sig) == 128 for r in store)
