@@ -15,6 +15,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1413,6 +1415,35 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(df).select("doc_id", "lang_pred")
 
 
+def _q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch hashed-char-n-gram language classifier over a
+    23-language synthetic fixture: each doc gets a deterministic page
+    in LANGS[doc_id % 23] (seeded function-word draws, a seed family
+    disjoint from training), the classifier predicts, and the oracle
+    re-derives the TRUE language from the doc_id construction — the
+    gate therefore asserts exact 100% fixture accuracy, not just
+    row counts."""
+    from pyspark.sql.functions import pandas_udf
+
+    from docling_eval_spark.functions.langid import LANGS, synth_page
+    from docling_eval_spark.operators.text_analysis import (
+        with_lang_id_classifier)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    @pandas_udf("string")
+    def _page(s: pd.Series) -> pd.Series:
+        return pd.Series([
+            synth_page(LANGS[int(i) % len(LANGS)],
+                       int(i) + 31_337, 56) for i in s])
+
+    pages = docs.withColumn("text", _page(F.col("doc_id")))
+    return (with_lang_id_classifier(pages)
+            .select("doc_id", F.col("langid_lang").alias("lang_pred"))
+            .orderBy("doc_id"))
+
+
 def _q_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash-style document fingerprint: collision accounting.
     The oracle counts distinct (head64, tail64, len) triples of normalized
@@ -1808,6 +1839,38 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.groupBy("doc_id")
         .agg(F.count("*").alias("n_frames"), F.sum("n_bytes").alias("sampled_bytes"))
         .orderBy("doc_id")
+    )
+
+
+def _q_video_container_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-sniff honesty boundary: a mixed fixture (MP4-, MKV-,
+    WebM-shaped headers and raw bytes, keyed by doc_id % 4) must count
+    real video containers as a distinct undecodable class (one marker
+    row, zero synthesized frames) while raw payloads keep the stub
+    chunk fan-out; the oracle re-derives both from the construction."""
+    from docling_eval_spark.operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    m = (F.col("doc_id") % 4).cast("int")
+    body = F.encode("text", "utf-8")
+    payload = (
+        F.when(m == 0, F.concat(
+            F.lit(b"\x00\x00\x00\x18ftypisom"), body))
+        .when(m == 1, F.concat(
+            F.lit(b"\x1aE\xdf\xa3"),
+            F.lit(b"\x42\x82\x88matroska"), body))
+        .when(m == 2, F.concat(
+            F.lit(b"\x1aE\xdf\xa3"), F.lit(b"\x42\x82\x84webm"), body))
+        .otherwise(F.concat(F.lit(b"RAWV"), body)))
+    fixture = docs.select("doc_id", payload.alias("payload"))
+    frames = sample_frames(fixture, chunk=1024, every_n=4)
+    return (
+        frames.groupBy(
+            F.coalesce("container_mime", F.lit("raw")).alias("container"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count_if(F.col("frame_idx") >= 0).alias("n_frames"))
+        .orderBy("container")
     )
 
 
@@ -2728,9 +2791,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_exact_dup": _q_simhash_exact_dup,
         "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
+        "lang_id_classifier": _q_lang_id_classifier,
         "fingerprint_summary": _q_fingerprint_summary,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
+        "video_container_counts": _q_video_container_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "quality_filter": _q_quality_filter,
@@ -2799,8 +2864,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from docling_eval_spark.functions.langid import LANGS as _LID_LANGS
+
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lid_arr = "[" + ", ".join(f"'{l}'" for l in _LID_LANGS) + "]"
     return {
+        # construction-truth oracle: the fixture page of doc i is BUILT
+        # in LANGS[i % 23], so the oracle IS the true label — a hash
+        # match means 100% classifier accuracy on the fixture
+        "lang_id_classifier": (
+            f"SELECT doc_id, {lid_arr}"
+            f"[cast(doc_id % {len(_LID_LANGS)} AS int) + 1] AS lang_pred "
+            "FROM documents ORDER BY doc_id"
+        ),
         # closed-form oracles: the corpus generator guarantees byte-identical
         # extraction, so the oracle is the text column itself
         "extract_text_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
@@ -4006,6 +4082,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT mime, 'builtin' AS decode_tier, "
             "count(*) AS n_payloads FROM p GROUP BY mime "
             "ORDER BY mime"
+        ),
+        "video_container_counts": (
+            "WITH d AS (SELECT doc_id, cast(doc_id % 4 AS int) AS m, "
+            "strlen(text) + 4 AS len FROM documents) "
+            "SELECT ['video/mp4', 'video/x-matroska', 'video/webm', "
+            "'raw'][m + 1] AS container, "
+            "count(*) AS n_docs, "
+            "cast(sum(CASE WHEN m = 3 THEN "
+            "ceil(ceil(len / 1024.0) / 4.0) ELSE 0 END) AS bigint) "
+            "AS n_frames "
+            "FROM d GROUP BY m ORDER BY container"
         ),
         "multimodal_frames": (
             "WITH p AS (SELECT doc_id, strlen(text) + 4 AS len, "

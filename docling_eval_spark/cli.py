@@ -310,6 +310,21 @@ def cmd_curate(args) -> None:
                 .drop(text)
                 .withColumnRenamed("text_norm", text)
                 .withColumnRenamed("text_norm_changed", "_norm_changed"))
+    n_lang_dropped = 0
+    if args.lang_id:
+        # CCNet stage ordering: language-ID the page BEFORE the quality
+        # and perplexity machinery (the classifier is one Arrow stage;
+        # everything downstream then runs per-language or on the kept
+        # languages only). langid_lang/_conf ride into the curated
+        # output as columns either way.
+        from .operators.text_analysis import with_lang_id_classifier
+
+        kept = with_lang_id_classifier(kept, text_col=text)
+        if args.lang_keep:
+            wanted = [l.strip() for l in args.lang_keep.split(",") if l.strip()]
+            before = kept.count()
+            kept = kept.where(F.col("langid_lang").isin(wanted))
+            n_lang_dropped = before - kept.count()
     if not args.skip_gopher:
         flagged = with_gopher_quality(kept, text_col=text,
                                       min_words=args.min_words)
@@ -374,6 +389,8 @@ def cmd_curate(args) -> None:
         summary["sample_rate"] = args.sample
     if args.url_dedup:
         summary["n_url_duplicates_dropped"] = n_url_dropped
+    if args.lang_id:
+        summary["n_lang_dropped"] = n_lang_dropped
     if args.normalize:
         summary["normalized_changed"] = int(pii["nc"] or 0)
     if args.decontaminate:
@@ -454,6 +471,13 @@ def main(argv: list[str] | None = None) -> None:
                          "stage ordering)")
     cu.add_argument("--url-col", default="url")
     cu.add_argument("--normalize", action="store_true")
+    cu.add_argument("--lang-id", action="store_true",
+                    help="classify page language (hashed char-n-gram "
+                         "softmax, CCNet stage position) and keep the "
+                         "prediction columns")
+    cu.add_argument("--lang-keep", default=None,
+                    help="comma-separated language codes to keep "
+                         "(with --lang-id)")
     cu.add_argument("--decontaminate", default=None,
                     help="parquet path of a benchmark table to n-gram "
                          "decontaminate against")

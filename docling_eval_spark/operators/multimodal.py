@@ -287,7 +287,24 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
         gen, schema=IMAGE_FEATURES_SCHEMA)
 
 
-FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_bytes int"
+FRAMES_SCHEMA = ("doc_id bigint, frame_idx int, frame binary, "
+                 "n_bytes int, container_mime string")
+
+
+def sniff_container(b: bytes) -> str | None:
+    """Magic-byte container detection for REAL video bytes.
+
+    ISO-BMFF/MP4 carries 'ftyp' at byte offset 4 (box-length prefix
+    first — a plain prefix table cannot express it); Matroska and WebM
+    share the EBML magic 1A 45 DF A3 and differ by the DocType string
+    in the EBML header (scanned in the first 64 bytes). Returns None
+    for anything that is not a recognized video container.
+    """
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "video/mp4"
+    if b[:4] == b"\x1aE\xdf\xa3":
+        return "video/webm" if b"webm" in b[:64] else "video/x-matroska"
+    return None
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload",
@@ -295,20 +312,34 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                   every_n: int = 4) -> DataFrame:
     """UDTF-shaped frame sampling: N output rows per input video payload.
 
-    STUB frame extraction: the payload is split into fixed-size chunks and
-    every `every_n`-th chunk is emitted as a 'frame' — deterministic stand-in
-    for keyframe decoding; the fan-out shape (one input row -> many output
-    rows through mapInPandas) is the real contract.
+    Honesty boundary (explicit): payloads that sniff as a REAL video
+    container (MP4/Matroska/WebM — sniff_container) are NOT chunk-
+    sampled; decoding them needs a codec stack this sandbox does not
+    ship, so each emits ONE marker row (frame_idx=-1, null frame,
+    container_mime set) and downstream accounting counts them as a
+    distinct undecodable class instead of receiving synthesized
+    frames that look real. Everything else keeps the STUB extraction:
+    the payload is split into fixed-size chunks and every `every_n`-th
+    chunk is emitted as a 'frame' (container_mime null) — a
+    deterministic stand-in for keyframe decoding; the fan-out shape
+    (one input row -> many output rows through mapInPandas) is the
+    real contract.
     """
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[key], pdf[payload_col]):
                 b = bytes(payload)
+                container = sniff_container(b)
+                if container is not None:
+                    rows.append((int(doc_id), -1, None, 0, container))
+                    continue
                 n_chunks = max(1, (len(b) + chunk - 1) // chunk)
                 for idx in range(0, n_chunks, every_n):
                     fr = b[idx * chunk:(idx + 1) * chunk]
-                    rows.append((int(doc_id), idx, fr, len(fr)))
-            yield pd.DataFrame(rows, columns=[key, "frame_idx", "frame", "n_bytes"])
+                    rows.append((int(doc_id), idx, fr, len(fr), None))
+            yield pd.DataFrame(
+                rows, columns=[key, "frame_idx", "frame", "n_bytes",
+                               "container_mime"])
 
     return df.select(key, payload_col).mapInPandas(gen, schema=FRAMES_SCHEMA)

@@ -1520,26 +1520,45 @@ def domain_rollup(df: DataFrame, key: str = "doc_id",
 
 
 def unigram_logprob(df: DataFrame, key: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    broadcast_max_tokens: int | None = None) -> DataFrame:
     """Per-document mean unigram negative log-likelihood.
 
     CCNet buckets Common Crawl by a KenLM wikipedia perplexity; the
     two-phase Spark shape is identical for any LM order: (1) aggregate
     corpus LM statistics — here a unigram table, one groupBy on token
-    with map-side combine; (2) broadcast the (small) model back and
-    score each document. The token table of even a 100 TB web corpus
-    is millions of rows — broadcastable; higher orders would swap the
-    broadcast for a bucketed join on gram prefix.
+    with map-side combine; (2) score each document against the model.
+
+    Model-side join strategy: the token table of even a 100 TB web
+    corpus is millions of rows — broadcastable, and broadcast is the
+    default (each token row joins the model executor-locally, zero
+    shuffle of the exploded corpus). Higher LM orders (or pathological
+    vocabularies) outgrow the driver: pass `broadcast_max_tokens` and
+    when the distinct-token count exceeds it the model joins as a
+    plain shuffled hash join on the token hash instead — the exploded
+    corpus exchanges 16-byte (key, tok_hash) rows; token TEXT never
+    crosses the wire on either path (both aggregate and join on
+    xxhash64(token), whose any-collision probability at a V-token
+    vocabulary is ~V^2/2^65 — ~5e-6 even at V=10^7). Output is
+    identical on both paths (pinned by pytest and the shared SQL
+    oracle).
 
     Score = mean over tokens of -ln(count(token)/total_tokens),
     rounded to 6 decimals (summation-order stability).
     """
-    toks = df.select(key, F.explode(_words(F.col(text_col))).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count_if(F.lit(True)).alias("cnt"))
+    toks = df.select(key, F.explode(_words(F.col(text_col))).alias("tok")) \
+        .select(key, F.xxhash64("tok").alias("_th"))
+    freq = toks.groupBy("_th").agg(F.count_if(F.lit(True)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
-    model = F.broadcast(freq.crossJoin(F.broadcast(total)))
+    use_broadcast = True
+    if broadcast_max_tokens is not None:
+        n_tokens_distinct = freq.count()
+        use_broadcast = n_tokens_distinct <= broadcast_max_tokens
+    model = freq.crossJoin(F.broadcast(total))
+    if use_broadcast:
+        model = F.broadcast(model)
     scored = (
-        toks.join(model, "tok")
+        toks.join(model, "_th")
         .groupBy(key)
         .agg(
             F.count_if(F.lit(True)).alias("n_tokens"),

@@ -116,6 +116,40 @@ class TestMultimodal:
             expected = (n_chunks + 3) // 4
             assert row["count"] == expected
 
+    def test_real_video_containers_marked_not_synthesized(self, spark):
+        """MP4/MKV/WebM bytes must become ONE undecodable marker row,
+        never fake frames; raw bytes keep the stub chunk fan-out."""
+        from docling_eval_spark.operators.multimodal import (
+            sample_frames, sniff_container)
+
+        assert sniff_container(b"\x00\x00\x00\x18ftypisomfiller") == "video/mp4"
+        assert sniff_container(
+            b"\x1aE\xdf\xa3\x42\x82\x88matroska...") == "video/x-matroska"
+        assert sniff_container(
+            b"\x1aE\xdf\xa3\x42\x82\x84webm....") == "video/webm"
+        assert sniff_container(b"RAWVxxxx") is None
+        assert sniff_container(b"\x89PNG....") is None
+        assert sniff_container(b"") is None
+
+        rows = [
+            (1, b"\x00\x00\x00\x18ftypisom" + b"x" * 5000),
+            (2, b"\x1aE\xdf\xa3\x42\x82\x84webm" + b"y" * 5000),
+            (3, b"z" * 2500),                     # raw: 3 chunks -> 1 frame
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = sample_frames(df, chunk=1024, every_n=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [(r.frame_idx, r.frame, r.n_bytes, r.container_mime)
+                for r in by_doc[1]] == [(-1, None, 0, "video/mp4")]
+        assert [(r.frame_idx, r.container_mime)
+                for r in by_doc[2]] == [(-1, "video/webm")]
+        raws = by_doc[3]
+        assert all(r.container_mime is None and r.frame_idx >= 0
+                   for r in raws)
+        assert len(raws) == 1 and raws[0].n_bytes == 1024
+
 
 class TestPpmDecode:
     def test_roundtrip_and_header_comments(self):

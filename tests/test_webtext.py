@@ -463,6 +463,29 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2].unigram_nll == pytest.approx(expect2, abs=1e-6)
 
 
+def test_unigram_logprob_bucketed_join_equals_broadcast(spark):
+    """The over-threshold shuffled-join fallback must score
+    byte-identically to the broadcast path, and the plans must
+    actually differ (broadcast vs shuffled hash join)."""
+    rows = [(i, " ".join(f"w{(i * 13 + j) % 37}" for j in range(25)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(6)
+    base = unigram_logprob(df)
+    got_b = sorted(tuple(r) for r in base.collect())
+    # threshold far below the 37-token vocabulary -> shuffled join
+    shuf = unigram_logprob(df, broadcast_max_tokens=5)
+    got_s = sorted(tuple(r) for r in shuf.collect())
+    assert got_s == got_b
+    # threshold above it -> still the broadcast plan
+    got_hi = sorted(tuple(r) for r in unigram_logprob(
+        df, broadcast_max_tokens=10_000).collect())
+    assert got_hi == got_b
+    assert "BroadcastHashJoin" in \
+        base._jdf.queryExecution().executedPlan().toString()
+    splan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan
+
+
 def test_latest_snapshot_keeps_newest(spark):
     df = spark.createDataFrame(
         [("u1", 10, "old", 1), ("u1", 30, "new", 2), ("u1", 20, "mid", 3),
