@@ -130,8 +130,13 @@ def _amplitude(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
-    """(h, w) uint8 grayscale -> baseline JFIF bytes (Annex-K tables)."""
+def encode_jpeg(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """(h, w) uint8 grayscale -> baseline JFIF bytes (Annex-K tables).
+
+    `restart_interval` > 0 emits a DRI segment and an RSTn marker every
+    N MCUs (T.81 E.1.2/F.1.2.3: bit padding, modulo-8 marker cycling,
+    DC predictor reset) — restart markers are what let a decoder
+    entropy-decode segments independently."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("encode_jpeg supports grayscale (h, w) only")
@@ -147,8 +152,18 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     ac_codes = _huff_code_table(AC_LUM_BITS, AC_LUM_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # close the segment: 1-fill pad, RSTn (cycling 0..7)
+                bw.out = bytearray(bw.flush())
+                bw.acc = 0
+                bw.nbits = 0
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                prev_dc = 0
+            mcu += 1
             block = padded[by:by + 8, bx:bx + 8] - 128.0
             coef = _T @ block @ _T.T
             quant = np.round(coef / q).astype(np.int64)
@@ -192,79 +207,78 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
            + seg(0xFFC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)))
     sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
             + entropy + b"\xff\xd9")
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0
-                self.nbits += 8
-                continue
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1            # stuffed byte
-                else:
-                    # marker reached: feed zeros (caller handles RST/EOI
-                    # at MCU boundaries via sync())
-                    self.pos -= 1
-                    self.acc = (self.acc << 8) | 0
-                    self.nbits += 8
-                    continue
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def sync_restart(self) -> None:
-        """Drop bit remainder and consume an RSTn marker."""
-        self.acc = 0
-        self.nbits = 0
-        while (self.pos + 1 < len(self.data)
-               and not (self.data[self.pos] == 0xFF
-                        and 0xD0 <= self.data[self.pos + 1] <= 0xD7)):
-            self.pos += 1
-        self.pos += 2
-
-
 class _HuffDecode:
+    """Canonical Huffman table compiled to a 16-bit DIRECT lookup:
+    lut_sym[w]/lut_len[w] give the decoded symbol and code length for
+    any 16-bit window w whose prefix is a valid code (length 0 marks an
+    invalid prefix). One numpy index replaces the old per-bit walk +
+    dict probe — the table-driven state machine of every production
+    JPEG decoder. Memory: 3 bytes x 65,536 per table (4 tables in a
+    baseline color scan)."""
+
     def __init__(self, bits, vals):
-        self.lookup = {}
+        self.lut_sym = np.zeros(1 << 16, dtype=np.int16)
+        self.lut_len = np.zeros(1 << 16, dtype=np.uint8)
         code = 0
         idx = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = vals[idx]
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                self.lut_sym[lo:hi] = vals[idx]
+                self.lut_len[lo:hi] = length
                 code += 1
                 idx += 1
             code <<= 1
 
-    def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read(1)
-            v = self.lookup.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("bad huffman code")
+
+def _entropy_segments(data: bytes) -> list[np.ndarray]:
+    """Vectorized entropy-stream preparation: strip FF00 byte stuffing
+    and split at RSTn markers — all with numpy over the raw scan bytes.
+    Returns the restart segments in order; any non-RST marker (EOI, the
+    next header) terminates the scan."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(b == 0xFF)[0]
+    segs: list[np.ndarray] = []
+    start = 0
+    stuffed: list[int] = []
+
+    def close(endpos: int) -> None:
+        seg = b[start:endpos]
+        if stuffed:
+            seg = np.delete(seg, np.asarray(stuffed) - start)
+        segs.append(seg)
+
+    for p in ff:
+        if p < start:
+            continue            # consumed by a previous marker
+        nxt = int(b[p + 1]) if p + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            stuffed.append(p + 1)
+            continue
+        close(p)
+        if 0xD0 <= nxt <= 0xD7:       # restart marker: next segment
+            start = p + 2
+            stuffed = []
+            continue
+        return segs                    # EOI / next header: scan over
+    close(len(b))
+    return segs
+
+
+def _idct_batch(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """[n, 64] zigzag coefficient rows -> [n, 8, 8] spatial blocks: one
+    dequantize + two batched GEMMs for ALL blocks of a component."""
+    coef = np.zeros(zz.shape, dtype=np.float64)
+    coef[:, ZIGZAG] = zz * q.reshape(-1)[ZIGZAG][None, :]
+    c = coef.reshape(-1, 8, 8)
+    return np.einsum("ij,njk,kl->nil", _T.T, c, _T, optimize=True)
 
 
 def _extend(v: int, s: int) -> int:
@@ -346,44 +360,86 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(data, comps, tids, qtables, huff, h, w,
                  restart_interval) -> np.ndarray:
-    br = _BitReader(data)
+    """Entropy decode + batched reconstruction.
+
+    The stream is prepared VECTORIZED (_entropy_segments: stuffing
+    stripped, restart segments split with numpy); inside a segment the
+    bit cursor is the only sequential state — each Huffman symbol is
+    one precomputed-24-bit-window shift plus one direct-LUT index
+    (_HuffDecode), each magnitude read one shift, with no per-bit
+    Python. Decoded coefficients accumulate as [n_blocks, 64] zigzag
+    rows per component and reconstruct in ONE dequant + batched-GEMM
+    IDCT (_idct_batch) — image-heavy corpora no longer serialize on a
+    per-bit reader and a per-block 8x8 GEMM."""
     bh, bw_ = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-              for _ in comps]
-    prev_dc = [0] * len(comps)
+    n_comp = len(comps)
+    mcu_total = bh * bw_
+    per_seg = restart_interval if restart_interval else mcu_total
+    zz = [np.zeros((mcu_total, 64), dtype=np.int64) for _ in comps]
+    tabs = [(huff[(0, tids[c["id"]][0])], huff[(1, tids[c["id"]][1])])
+            for c in comps]
+    segs = _entropy_segments(data) or [np.zeros(0, dtype=np.uint8)]
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.sync_restart()
-                prev_dc = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                dc_t, ac_t = tids[comp["id"]]
-                q = qtables[comp["qid"]]
-                s = huff[(0, dc_t)].decode(br)
-                diff = _extend(br.read(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = prev_dc[ci]
+    for seg in segs:
+        if mcu >= mcu_total:
+            break
+        # B3[i] = 24-bit window starting at byte i (2-byte zero tail):
+        # the 16-bit window at BIT p is one index + shift away
+        byts = np.concatenate(
+            [seg, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
+        B3 = ((byts[:-2] << 16) | (byts[1:-1] << 8) | byts[2:]).tolist()
+        nB = len(B3)
+        p = 0
+        prev_dc = [0] * n_comp
+        end = min(mcu + per_seg, mcu_total)
+        while mcu < end:
+            for ci in range(n_comp):
+                dc_tab, ac_tab = tabs[ci]
+                row = zz[ci][mcu]
+                # DC: one LUT hit + one magnitude read
+                i = p >> 3
+                wdw = (B3[i] >> (8 - (p & 7))) & 0xFFFF if i < nB else 0
+                s = int(dc_tab.lut_sym[wdw])
+                ln = int(dc_tab.lut_len[wdw])
+                if ln == 0:
+                    raise ValueError("bad huffman code")
+                p += ln
+                if s:
+                    i = p >> 3
+                    wdw = (B3[i] >> (8 - (p & 7))) & 0xFFFF if i < nB else 0
+                    prev_dc[ci] += _extend(wdw >> (16 - s), s)
+                    p += s
+                row[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
-                    rs = huff[(1, ac_t)].decode(br)
-                    r, s = rs >> 4, rs & 0x0F
+                    i = p >> 3
+                    wdw = (B3[i] >> (8 - (p & 7))) & 0xFFFF if i < nB else 0
+                    rs = int(ac_tab.lut_sym[wdw])
+                    ln = int(ac_tab.lut_len[wdw])
+                    if ln == 0:
+                        raise ValueError("bad huffman code")
+                    p += ln
                     if rs == 0x00:
                         break
                     if rs == 0xF0:
                         k += 16
                         continue
-                    k += r
+                    k += rs >> 4
+                    s = rs & 0x0F
                     if k > 63:
                         raise ValueError("AC index overrun")
-                    zz[k] = _extend(br.read(s), s)
+                    i = p >> 3
+                    wdw = (B3[i] >> (8 - (p & 7))) & 0xFFFF if i < nB else 0
+                    row[k] = _extend(wdw >> (16 - s), s)
+                    p += s
                     k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
-                block = _T.T @ coef.reshape(8, 8) @ _T
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
             mcu += 1
+    planes = []
+    for ci, comp in enumerate(comps):
+        blocks = _idct_batch(zz[ci], qtables[comp["qid"]])  # [n, 8, 8]
+        plane = (blocks.reshape(bh, bw_, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))
+        planes.append(plane)
     out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
     if len(out) == 1:
         return out[0].astype(np.uint8)

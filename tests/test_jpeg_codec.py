@@ -109,3 +109,36 @@ def test_decoder_reads_declared_tables_not_assumed():
     out = decode_jpeg(bytes(blob))
     # stored DC 4 now dequantizes to 128 -> flat value 128/8 + 128 = 144
     assert np.all(out == 144)
+
+
+def test_entropy_segments_stuffing_and_restarts():
+    """The vectorized stream preparation must strip FF00 stuffing,
+    split at RSTn, and stop at EOI — byte-exactly."""
+    import numpy as np
+
+    from docling_eval_spark.functions.jpeg_codec import _entropy_segments
+
+    data = (b"\x01\xff\x00\x02"          # 01 FF 02 (stuffed)
+            b"\xff\xd0"                   # RST0
+            b"\x03\x04\xff\x00"           # 03 04 FF (stuffed, trailing)
+            b"\xff\xd9"                    # EOI
+            b"\xde\xad")                   # past the scan: ignored
+    segs = _entropy_segments(data)
+    assert [s.tobytes() for s in segs] == [b"\x01\xff\x02", b"\x03\x04\xff"]
+
+
+def test_restart_interval_roundtrip_noisy():
+    """A noisy image (every AC path exercised) with restart markers in
+    the stream must decode within baseline-JPEG tolerance and hit the
+    segment-per-RST decode path."""
+    import numpy as np
+
+    from docling_eval_spark.functions.jpeg_codec import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(64, 96) * 255).astype(np.uint8)
+    blob = encode_jpeg(img, restart_interval=5)
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
