@@ -2723,42 +2723,118 @@ def _q_webtext_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for driver coverage.
 
-    ROTATION POLICY: the driver hashes the FIRST 50 entries of this dict
-    each round, so ordering is coverage policy — entries are sorted
-    least-recently-driver-verified first. Each round, re-sort so that
-    (1) entries with no driver row ever come first, (2) then entries
-    whose last driver row is the OLDEST CORRECTNESS_r{N}.json, (3) then
-    entries whose operators changed this round even if recently
-    verified, (4) then the rest. Under this rotation every registry
-    entry carries a driver hash row at most two rounds old.
+    ROTATION POLICY (round-4 verdict #2: staleness-vs-change ordering):
+    the driver hashes the FIRST 50 entries of this dict each round, so
+    ordering is coverage policy. Sort priority: (1) entries whose
+    IMPLEMENTATION changed since their last driver row — a stale row
+    under changed code is the worst coverage state, so changed-code
+    outranks never-stale; (2) entries with no driver row ever (new this
+    round); (3) entries whose last driver row is the OLDEST
+    CORRECTNESS_r{N}.json; (4) the rest, least-recently-verified first.
 
-    Round-4 instance: the eleven round-4 queries (never driver-verified
-    — BPE counting/packing, payload mime accounting, JPEG decode, WARC
-    round-trip, canonical URL dedup, classifier sampling, full
-    repetition set, split assignment, perplexity buckets, robots
-    flags) lead, then 39 entries whose last driver row is
-    CORRECTNESS_r02.json. Just past the window: six r02-era entries
-    (timings_rollup/stats/histogram, consolidation_pivot,
-    kv_graph_labels, range_slice) and five r3-verified entries whose
-    operators changed this round — all verified locally through
-    tools/check_oracle.py FULL sweeps this round (106/106 OK), and
-    first in line for round 5.
+    Round-5 instance: 15 changed-in-r5 entries lead (robots regex +
+    fixture, embedding-LSH cap default + cache contract, repetition
+    persist restructure, packing/budget cache tracking, near-dedup
+    signature store, distributed bloom build, prefix-sum range slice,
+    hashed unigram join, frame container sniff, vectorized JPEG
+    decode), then the 2 round-5 additions (lang_id_classifier,
+    video_container_counts), then the 6 remaining r02-era rows
+    (rejection_summary, timings_rollup/stats/histogram,
+    consolidation_pivot, kv_graph_labels — range_slice moved into
+    group 1 by its rewrite), then the 4 r3-row entries whose code
+    changed in round 4 (epoch_shuffle_pos, gopher_quality,
+    webtext_latest_snapshot, c4_line_filter), then 23 r3-era fills.
+    After this window lands, no entry's latest driver row predates its
+    last code change and no row is older than r3 — the round-4 verdict
+    #2 "Done" condition. All 50 verified locally through
+    tools/check_oracle.py this round before shipping.
     """
     return {
-        # --- slots 1-2: NEW in round 4, never driver-verified ---
-        "bpe_token_counts": _q_bpe_token_counts,
+        # --- slots 1-15: implementation changed in round 5 since
+        # their last driver row (robots regex + fixture, LSH cap
+        # default + cache contract, repetition persist restructure,
+        # packing/budget cache tracking, signature-store param,
+        # distributed bloom build, prefix-sum range slice, hashed
+        # unigram join, container sniff, vectorized JPEG decode) ---
+        "robots_meta_flags": _q_robots_flags,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dup_components": _q_embedding_dup_components,
+        "gopher_repetition_full": _q_gopher_repetition_full,
+        "pack_sequences_docs": _q_pack_sequences_docs,
         "pack_bpe_sequences": _q_pack_bpe_sequences,
-        "payload_mime_counts": _q_payload_mime_counts,
+        "token_budget_select": _q_token_budget,
+        "webtext_line_dedup": _q_webtext_line_dedup,
+        "near_dedup_against_history": _q_near_dedup_against,
+        "bloom_dedup_against_history": _q_bloom_dedup_against,
+        "range_slice": _q_range_slice,
+        "webtext_unigram_nll": _q_webtext_unigram_nll,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "multimodal_frames": _q_multimodal_frames,
         "jpeg_decode_features": _q_jpeg_decode_features,
+        # --- round-5 additions, never driver-verified ---
+        "lang_id_classifier": _q_lang_id_classifier,
+        "video_container_counts": _q_video_container_counts,
+        # --- last driver row is CORRECTNESS_r02.json (oldest) ---
+        "rejection_summary": _q_rejection_summary,
+        "timings_rollup": _q_timings_rollup,
+        "timings_stats": _q_timings_stats,
+        "timings_histogram": _q_timings_histogram,
+        "consolidation_pivot": _q_consolidation_pivot,
+        "kv_graph_labels": _q_kv_graph_labels,
+        # --- r3 driver rows predating their round-4 code changes ---
+        "epoch_shuffle_pos": _q_epoch_shuffle,
+        "gopher_quality": _q_gopher_quality,
+        "webtext_latest_snapshot": _q_webtext_latest_snapshot,
+        "c4_line_filter": _q_c4_line_filter,
+        # --- window fill: last driver row is CORRECTNESS_r03.json ---
+        "azure_docai_spans": _q_azure_docai_spans,
+        "cumulative_histogram": _q_cumulative_histogram,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "cvat_document_items": _q_cvat_document_items,
+        "dedup_against_history": _q_dedup_against_history,
+        "dedup_components": _q_dedup_components,
+        "doclaynet_v2_kv": _q_doclaynet_v2_kv,
+        "duplicate_spans": _q_duplicate_spans,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
+        "embedding_topk": _q_embedding_topk,
+        "event_json_props": _q_event_json_props,
+        "event_sessions": _q_event_sessions,
+        "events_daily": _q_events_daily,
+        "extract_block_counts": _q_extract_block_counts,
+        "extract_identity_rate": _q_extract_identity_rate,
+        "extract_text_md5": _q_extract_text_md5,
+        "google_docai_spans": _q_google_docai_spans,
+        "gopher_line_flags": _q_gopher_line_flags,
+        "hash_sample_docs": _q_hash_sample_docs,
+        "large_orders": _q_large_orders,
+        "late_orders": _q_late_orders,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "ngram_decontaminate": _q_ngram_decontaminate,
+        # --- past the window: r3-verified, unchanged since ---
+        "pricing_summary": _q_pricing_summary,
+        "top_orders": _q_top_orders,
+        "region_revenue": _q_region_revenue,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "png_decode_features": _q_png_decode_features,
+        "textract_spans": _q_textract_spans,
+        "otsl_table_grid": _q_otsl_table_grid,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "webtext_repetition": _q_webtext_repetition,
+        "pii_redaction": _q_pii_redaction,
+        "webtext_domain_rollup": _q_webtext_domain_rollup,
+        "stratified_sample_langs": _q_stratified_sample_langs,
+        "normalize_text": _q_normalize_text,
+        "url_filter_pages": _q_url_filter_pages,
+        "pdf_extract_text_md5": _q_pdf_extract_text_md5,
+        "teds_tables_identity": _q_teds_tables_identity,
+        # --- r4-verified, unchanged since ---
+        "bpe_token_counts": _q_bpe_token_counts,
+        "payload_mime_counts": _q_payload_mime_counts,
         "warc_roundtrip": _q_warc_roundtrip,
         "url_dedup_canonical": _q_url_dedup,
         "classifier_quality_sample": _q_classifier_sample,
-        "gopher_repetition_full": _q_gopher_repetition_full,
         "train_split_assign": _q_assign_split,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "robots_meta_flags": _q_robots_flags,
-        "bloom_dedup_against_history": _q_bloom_dedup_against,
-        # --- window: last driver row is CORRECTNESS_r02.json ---
         "table_delta_histogram": _q_table_delta_histogram,
         "ocr_page_cer": _q_ocr_page_cer,
         "layout_image_metrics": _q_layout_image_metrics,
@@ -2789,77 +2865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "near_dedup_kept": _q_near_dedup_kept,
         "simhash_exact_dup": _q_simhash_exact_dup,
-        "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
-        "lang_id_classifier": _q_lang_id_classifier,
         "fingerprint_summary": _q_fingerprint_summary,
         "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frames": _q_multimodal_frames,
-        "video_container_counts": _q_video_container_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "quality_filter": _q_quality_filter,
-        "rejection_summary": _q_rejection_summary,
-        "timings_rollup": _q_timings_rollup,
-        "timings_stats": _q_timings_stats,
-        "timings_histogram": _q_timings_histogram,
-        "consolidation_pivot": _q_consolidation_pivot,
-        "kv_graph_labels": _q_kv_graph_labels,
-        "range_slice": _q_range_slice,
-        # --- window (slots 46-50): r3-verified entries whose operators
-        # changed in round 4 (gopher symbol rule, snapshot tie-break,
-        # prefix-sum de-skew, embedding-LSH cap) ---
-        "gopher_quality": _q_gopher_quality,
-        "webtext_latest_snapshot": _q_webtext_latest_snapshot,
-        "epoch_shuffle_pos": _q_epoch_shuffle,
-        "token_budget_select": _q_token_budget,
-        "embedding_dup_components": _q_embedding_dup_components,
-        # --- beyond the window: driver-green in CORRECTNESS_r03.json ---
-        "event_json_props": _q_event_json_props,
-        "cumulative_histogram": _q_cumulative_histogram,
-        "pricing_summary": _q_pricing_summary,
-        "top_orders": _q_top_orders,
-        "region_revenue": _q_region_revenue,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "late_orders": _q_late_orders,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "large_orders": _q_large_orders,
-        "events_daily": _q_events_daily,
-        "event_sessions": _q_event_sessions,
-        "top_parts_per_brand": _q_top_parts_per_brand,
-        "embedding_topk": _q_embedding_topk,
-        "embedding_ivf_topk": _q_embedding_ivf_topk,
-        "png_decode_features": _q_png_decode_features,
-        "textract_spans": _q_textract_spans,
-        "azure_docai_spans": _q_azure_docai_spans,
-        "google_docai_spans": _q_google_docai_spans,
-        "otsl_table_grid": _q_otsl_table_grid,
-        "doclaynet_v2_kv": _q_doclaynet_v2_kv,
-        "cvat_document_items": _q_cvat_document_items,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "webtext_line_dedup": _q_webtext_line_dedup,
-        "webtext_repetition": _q_webtext_repetition,
-        "pii_redaction": _q_pii_redaction,
-        "webtext_domain_rollup": _q_webtext_domain_rollup,
-        "webtext_unigram_nll": _q_webtext_unigram_nll,
-        "c4_line_filter": _q_c4_line_filter,
-        "hash_sample_docs": _q_hash_sample_docs,
-        "stratified_sample_langs": _q_stratified_sample_langs,
-        "dedup_components": _q_dedup_components,
-        "duplicate_spans": _q_duplicate_spans,
-        "normalize_text": _q_normalize_text,
-        "dedup_against_history": _q_dedup_against_history,
-        "gopher_line_flags": _q_gopher_line_flags,
-        "near_dedup_against_history": _q_near_dedup_against,
-        "ngram_decontaminate": _q_ngram_decontaminate,
-        "url_filter_pages": _q_url_filter_pages,
-        "pack_sequences_docs": _q_pack_sequences_docs,
-        "extract_text_md5": _q_extract_text_md5,
-        "pdf_extract_text_md5": _q_pdf_extract_text_md5,
-        "extract_identity_rate": _q_extract_identity_rate,
-        "extract_block_counts": _q_extract_block_counts,
-        "teds_tables_identity": _q_teds_tables_identity,
     }
 
 
