@@ -1728,6 +1728,25 @@ def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's full composition (§4.3 then §4.4): ONE unigram LM per
+    language (token probabilities from the token's own language
+    distribution) and head/middle/tail thirds ranked WITHIN each
+    language; the oracle is the per-language freq join plus a
+    lang-partitioned window."""
+    from docling_eval_spark.operators.webtext import (
+        perplexity_buckets_by_lang, unigram_logprob)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    scored = unigram_logprob(docs, by="lang").select(
+        "doc_id", "lang", "unigram_nll")
+    return (perplexity_buckets_by_lang(scored)
+            .select("doc_id", "lang", "unigram_nll", "ppl_rank",
+                    "ppl_bucket")
+            .orderBy("doc_id"))
+
+
 def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment rollup per lang: the
     oracle replays the md5 cumulative-fraction ladder."""
@@ -2737,13 +2756,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 2 round-5 additions (lang_id_classifier,
-    video_container_counts), then the 6 remaining r02-era rows
+    decode), then the 3 round-5 additions (lang_id_classifier,
+    video_container_counts, perplexity_by_lang), then the 6 remaining
+    r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 23 r3-era fills.
+    webtext_latest_snapshot, c4_line_filter), then 22 r3-era fills
+    (ngram_decontaminate slides just past the window to slot 51).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -2774,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions, never driver-verified ---
         "lang_id_classifier": _q_lang_id_classifier,
         "video_container_counts": _q_video_container_counts,
+        "perplexity_by_lang": _q_perplexity_by_lang,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -4019,6 +4041,30 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 6 IN (0, 1, 4) AS robots_nofollow, "
             "doc_id % 6 NOT IN (0, 1, 5) AS robots_keep "
             "FROM documents ORDER BY doc_id"
+        ),
+        "perplexity_by_lang": (
+            "WITH toks AS (SELECT doc_id, lang, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS tok "
+            "FROM documents), "
+            "freq AS (SELECT lang, tok, count(*) AS cnt "
+            "FROM toks GROUP BY lang, tok), "
+            "tot AS (SELECT lang, cast(sum(cnt) AS bigint) AS total "
+            "FROM freq GROUP BY lang), "
+            "s AS (SELECT doc_id, t.lang AS lang, "
+            "round(avg(-ln(cnt / cast(total AS double))), 6) "
+            "AS unigram_nll FROM toks t "
+            "JOIN freq f ON t.lang = f.lang AND t.tok = f.tok "
+            "JOIN tot ON t.lang = tot.lang "
+            "GROUP BY doc_id, t.lang), "
+            "r AS (SELECT doc_id, lang, unigram_nll, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY unigram_nll, doc_id) - 1 AS rk, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM s) "
+            "SELECT doc_id, lang, unigram_nll, "
+            "cast(rk AS bigint) AS ppl_rank, "
+            "['head', 'middle', 'tail']"
+            "[cast(least(rk * 3 // n, 2) AS int) + 1] AS ppl_bucket "
+            "FROM r ORDER BY doc_id"
         ),
         "perplexity_buckets": (
             "WITH toks AS (SELECT doc_id, "

@@ -1521,7 +1521,8 @@ def domain_rollup(df: DataFrame, key: str = "doc_id",
 
 def unigram_logprob(df: DataFrame, key: str = "doc_id",
                     text_col: str = "text",
-                    broadcast_max_tokens: int | None = None) -> DataFrame:
+                    broadcast_max_tokens: int | None = None,
+                    by: str | None = None) -> DataFrame:
     """Per-document mean unigram negative log-likelihood.
 
     CCNet buckets Common Crawl by a KenLM wikipedia perplexity; the
@@ -1543,23 +1544,34 @@ def unigram_logprob(df: DataFrame, key: str = "doc_id",
     identical on both paths (pinned by pytest and the shared SQL
     oracle).
 
+    `by` groups the MODEL itself: frequencies, totals, and scores are
+    computed within each value of that column — CCNet's one-LM-per-
+    language shape (a token's probability comes from its own
+    language's distribution). The plan shape is unchanged: one
+    groupBy on (by, token hash) with map-side combine, per-group
+    totals broadcast, the same model-side join strategy.
+
     Score = mean over tokens of -ln(count(token)/total_tokens),
     rounded to 6 decimals (summation-order stability).
     """
-    toks = df.select(key, F.explode(_words(F.col(text_col))).alias("tok")) \
-        .select(key, F.xxhash64("tok").alias("_th"))
-    freq = toks.groupBy("_th").agg(F.count_if(F.lit(True)).alias("cnt"))
-    total = freq.agg(F.sum("cnt").alias("total"))
+    grp = [by] if by else []
+    toks = df.select(key, *grp,
+                     F.explode(_words(F.col(text_col))).alias("tok")) \
+        .select(key, *grp, F.xxhash64("tok").alias("_th"))
+    freq = toks.groupBy(*grp, "_th").agg(
+        F.count_if(F.lit(True)).alias("cnt"))
+    total = freq.groupBy(*grp).agg(F.sum("cnt").alias("total"))
     use_broadcast = True
     if broadcast_max_tokens is not None:
         n_tokens_distinct = freq.count()
         use_broadcast = n_tokens_distinct <= broadcast_max_tokens
-    model = freq.crossJoin(F.broadcast(total))
+    model = freq.join(F.broadcast(total), grp) if by \
+        else freq.crossJoin(F.broadcast(total))
     if use_broadcast:
         model = F.broadcast(model)
     scored = (
-        toks.join(model, "_th")
-        .groupBy(key)
+        toks.join(model, grp + ["_th"])
+        .groupBy(key, *grp)
         .agg(
             F.count_if(F.lit(True)).alias("n_tokens"),
             F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6)
@@ -1589,21 +1601,67 @@ def perplexity_buckets(df: DataFrame, score_col: str = "unigram_nll",
     byte-identical to the oracle's single global window.
 
     Returns the input plus (ppl_rank, ppl_bucket)."""
+    from .caching import track_caches
+
     k = len(labels)
     # select_token_budget walks DESCENDING scores; negate so the walk
     # is ascending-perplexity (head first); ties break by key in both
-    ranked = select_token_budget(
+    ranked0 = select_token_budget(
         df.withColumn("_unit", F.lit("x"))
         .withColumn("_neg", -F.col(score_col)),
         budget=1 << 62, score_col="_neg", key=key, text_col="_unit",
         max_partition_rows=max_partition_rows)
-    ranked = ranked.withColumnRenamed("tok_before", "ppl_rank") \
+    ranked = ranked0.withColumnRenamed("tok_before", "ppl_rank") \
         .drop("_unit", "_neg", "n_tokens")
     n = ranked.count()
     lab_arr = F.array(*[F.lit(x) for x in labels])
     idx = F.least(F.floor(F.col("ppl_rank") * k / F.lit(max(n, 1))),
                   F.lit(k - 1)).cast("int")
-    return ranked.withColumn("ppl_bucket", F.element_at(lab_arr, idx + 1))
+    # re-attach the rank machinery's cache contract (derived frames do
+    # not inherit _cached_deps)
+    return track_caches(
+        ranked.withColumn("ppl_bucket", F.element_at(lab_arr, idx + 1)),
+        *getattr(ranked0, "_cached_deps", ()))
+
+
+def perplexity_buckets_by_lang(df: DataFrame, lang_col: str = "lang",
+                               score_col: str = "unigram_nll",
+                               key: str = "doc_id",
+                               labels: tuple[str, ...] = ("head", "middle",
+                                                          "tail"),
+                               max_partition_rows: int | None = 4_000_000
+                               ) -> DataFrame:
+    """CCNet's actual composition (§4.3 then §4.4): language bucketing
+    FIRST, then head/middle/tail thirds WITHIN each language's own
+    score distribution — a Hindi page competes with Hindi pages, never
+    with English, so low-resource languages are not drowned by the
+    dominant language's perplexity range.
+
+    Deployment shape mirrors CCNet itself: Common Crawl is sharded per
+    language (a bounded set — CCNet ships 174) and each language's
+    shard ranks independently, so the driver loop over the distinct
+    language values is the per-shard job submission, not a scale
+    hazard; each per-language rank inherits perplexity_buckets' de-
+    skewed distributed prefix sum. Returns the union of the
+    per-language frames (one row per input row, plus ppl_rank /
+    ppl_bucket computed within the row's language)."""
+    from .caching import track_caches
+
+    langs = sorted((r[0] for r in df.select(lang_col).distinct().collect()),
+                   key=lambda v: (v is None, str(v)))
+    out = None
+    deps: list[DataFrame] = []
+    for lg in langs:
+        part = perplexity_buckets(
+            df.where(F.col(lang_col).eqNullSafe(F.lit(lg))),
+            score_col=score_col, key=key, labels=labels,
+            max_partition_rows=max_partition_rows)
+        deps.extend(getattr(part, "_cached_deps", ()))
+        out = part if out is None else out.unionByName(part)
+    if out is None:     # empty input: rank columns on the empty frame
+        out = df.withColumn("ppl_rank", F.lit(0).cast("long")) \
+            .withColumn("ppl_bucket", F.lit("head")).limit(0)
+    return track_caches(out, *deps)
 
 
 def latest_snapshot(df: DataFrame, key: str = "url",

@@ -486,6 +486,52 @@ def test_unigram_logprob_bucketed_join_equals_broadcast(spark):
     assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan
 
 
+def test_unigram_logprob_per_language_model(spark):
+    """by='lang' must score each token against ITS language's
+    distribution: the same token string gets different probabilities in
+    different languages."""
+    import math
+
+    from docling_eval_spark.operators.webtext import unigram_logprob
+
+    rows = [(1, "en", "a a a b"),    # en LM: p(a)=3/4, p(b)=1/4
+            (2, "de", "a a c c")]    # de LM: p(a)=1/2, p(c)=1/2
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in unigram_logprob(df, by="lang").collect()}
+    want1 = (-3 * math.log(0.75) - math.log(0.25)) / 4
+    assert out[1].unigram_nll == pytest.approx(want1, abs=1e-6)
+    # a GLOBAL model (p(a)=5/8) would read 0.93 here; per-lang is ln 2
+    assert out[2].unigram_nll == pytest.approx(math.log(2.0), abs=1e-6)
+
+
+def test_perplexity_buckets_by_lang_matches_window(spark):
+    """Per-language thirds must equal a lang-partitioned global window
+    (rank within language, ties by key), and the union must release its
+    rank-machinery caches on the contract call."""
+    from pyspark.sql import Window
+
+    from docling_eval_spark.operators.caching import release_caches
+    from docling_eval_spark.operators.webtext import (
+        perplexity_buckets_by_lang)
+
+    rows = [(i, ["en", "de", "fr"][i % 3], float((i * 17) % 23))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "unigram_nll"])
+    out = perplexity_buckets_by_lang(df)
+    got = {r.doc_id: (r.ppl_rank, r.ppl_bucket) for r in out.collect()}
+    w = Window.partitionBy("lang").orderBy("unigram_nll", "doc_id")
+    ref = (df.withColumn("rk", F.row_number().over(w) - 1)
+           .withColumn("n", F.count("*").over(Window.partitionBy("lang"))))
+    for r in ref.collect():
+        bucket = ["head", "middle", "tail"][min(r.rk * 3 // r.n, 2)]
+        assert got[r.doc_id] == (r.rk, bucket), r.doc_id
+    # one rank-machinery cache per language, all released on the call
+    # (delta-based: the shared test session may hold other caches)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert release_caches(out, blocking=True) == 3
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before - 3
+
+
 def test_latest_snapshot_keeps_newest(spark):
     df = spark.createDataFrame(
         [("u1", 10, "old", 1), ("u1", 30, "new", 2), ("u1", 20, "mid", 3),
