@@ -1523,6 +1523,45 @@ def _q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_luma double").orderBy("doc_id")
 
 
+def _q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path (the WAV analog of jpeg_decode_features):
+    synth_wav emits a 16-bit PCM square wave whose features are
+    closed-form (|sample| == A everywhere so rms == peak == A exactly;
+    duration == n/rate — operators/multimodal.py synth_wav docstring),
+    so the oracle recomputes every column from the construction.
+    doc_id % 11 == 0 ships raw text bytes instead — the honest
+    undecodable class must yield all-null features, never synthesized
+    numbers. Any RIFF chunk-walk / dtype / channel-shape bug flips the
+    hash."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from docling_eval_spark.operators.multimodal import (
+        decode_audio_features)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").where(F.col("doc_id") < 500)
+        .repartition(16, F.xxhash64("doc_id", F.lit(0xA0D10)))
+    )
+
+    def mk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docling_eval_spark.operators.multimodal import synth_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                payload = (str(text).encode("utf-8") if d % 11 == 0
+                           else synth_wav(d))
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(mk, schema="doc_id bigint, payload binary")
+    return decode_audio_features(payloads).orderBy("doc_id")
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -2756,15 +2795,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 3 round-5 additions (lang_id_classifier,
-    video_container_counts, perplexity_by_lang), then the 6 remaining
-    r02-era rows
+    decode), then the 4 round-5 additions (lang_id_classifier,
+    video_container_counts, perplexity_by_lang,
+    audio_decode_features), then the 6 remaining r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 22 r3-era fills
-    (ngram_decontaminate slides just past the window to slot 51).
+    webtext_latest_snapshot, c4_line_filter), then 21 r3-era fills
+    (min_cost_supplier and ngram_decontaminate slide just past the
+    window to slots 51-52).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -2796,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_classifier": _q_lang_id_classifier,
         "video_container_counts": _q_video_container_counts,
         "perplexity_by_lang": _q_perplexity_by_lang,
+        "audio_decode_features": _q_audio_decode_features,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -3758,6 +3799,30 @@ def oracle_sql() -> dict[str, str]:
             "round(list_sum(list_transform(range(0, wb * hb), i -> "
             "128 + 2 * (((doc_id + 3 * (i % wb) + 7 * (i // wb)) % 49) "
             "- 24))) / cast(wb * hb AS double), 6) AS mean_luma "
+            "FROM d ORDER BY doc_id"
+        ),
+        # synth_wav construction (operators/multimodal.py): square wave
+        # amp=1000+(d%7)*1000 over n=400+(d%5)*80 frames at 8 kHz mono,
+        # so rms == peak == amp exactly; d%11==0 ships non-RIFF bytes
+        # and must decode to all nulls.
+        "audio_decode_features": (
+            "WITH d AS (SELECT doc_id, doc_id % 11 = 0 AS und, "
+            "1000 + (doc_id % 7) * 1000 AS amp, "
+            "400 + (doc_id % 5) * 80 AS n "
+            "FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id, "
+            "cast(CASE WHEN und THEN NULL ELSE 8000 END AS int) "
+            "AS sample_rate, "
+            "cast(CASE WHEN und THEN NULL ELSE 1 END AS int) "
+            "AS n_channels, "
+            "cast(CASE WHEN und THEN NULL ELSE n END AS bigint) "
+            "AS n_frames, "
+            "CASE WHEN und THEN NULL ELSE round(n / 8000.0, 6) END "
+            "AS duration_s, "
+            "CASE WHEN und THEN NULL ELSE "
+            "round(cast(amp AS double), 6) END AS rms, "
+            "cast(CASE WHEN und THEN NULL ELSE amp END AS int) "
+            "AS peak_abs "
             "FROM d ORDER BY doc_id"
         ),
         "png_decode_features": (

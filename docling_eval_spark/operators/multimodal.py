@@ -16,7 +16,14 @@ Decode paths, honestly tiered:
   - PPM (P6): REAL from-scratch decode (header parse + numpy pixel
     array + nearest-neighbor resize) — fully exercised and oracle-gated
     in this sandbox, no codec libs needed;
-  - PNG/JPEG: Pillow when importable (import-gated — absent here);
+  - PNG/JPEG: REAL from-scratch codecs (functions/png_codec.py,
+    functions/jpeg_codec.py); exotic JPEG profiles degrade to Pillow
+    when importable, else honest nulls;
+  - WAV (RIFF canonical PCM16): REAL from-scratch decode (struct chunk
+    walk + numpy samples) feeding duration/RMS/peak features;
+    compressed audio yields nulls — the honest undecodable class;
+  - MP4/MKV/WebM video: magic-byte container sniff marks real video as
+    a distinct undecodable class (no synthesized frames);
   - anything else: a clearly-marked DETERMINISTIC FAKE (features derived
     from payload bytes) so the Spark-side plumbing — schemas, batch
     shapes, partitioning, UDTF-style row fan-out — stays testable.
@@ -25,6 +32,7 @@ Decode paths, honestly tiered:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -32,14 +40,42 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# magic-byte prefixes -> mime (native when/otherwise dispatch, SURVEY P8)
+# magic-byte prefixes -> mime (native when/otherwise dispatch, SURVEY P8).
+# RIFF is a container prefix, not a format: _mime_expr sub-dispatches it
+# on the form-type field at bytes 9-12 (WAVE / AVI / WEBP).
 _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"P6", "image/x-portable-pixmap"),
-    (b"RIFF", "audio/wav"),
     (b"\x1aE\xdf\xa3", "video/webm"),
 ]
+
+# RIFF form type (bytes 9-12) -> mime
+_RIFF_FORMS = [
+    (b"WAVE", "audio/wav"),
+    (b"AVI ", "video/x-msvideo"),
+    (b"WEBP", "image/webp"),
+]
+
+
+def _mime_expr(p):
+    """Native magic-byte mime dispatch shared by with_payload_metadata
+    and decode_tier_accounting: prefix table + RIFF form-type
+    sub-dispatch, all JVM when/otherwise — no Python stage."""
+    riff = F.lit("application/octet-stream")
+    for form, m in reversed(_RIFF_FORMS):
+        riff = F.when(
+            F.hex(F.substring(p, 9, 4)) == F.lit(form.hex().upper()),
+            F.lit(m)).otherwise(riff)
+    mime = F.when(
+        F.hex(F.substring(p, 1, 4)) == F.lit(b"RIFF".hex().upper()), riff
+    ).otherwise(F.lit("application/octet-stream"))
+    for prefix, m in reversed(_MAGIC):
+        mime = F.when(
+            F.hex(F.substring(p, 1, len(prefix)))
+            == F.lit(prefix.hex().upper()),
+            F.lit(m)).otherwise(mime)
+    return mime
 
 
 # -- real decode path: PPM (P6) ----------------------------------------------
@@ -95,6 +131,103 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     return arr
 
 
+# -- real decode path: WAV (RIFF PCM) ----------------------------------------
+# The canonical WAVE container is fully decodable from the public RIFF
+# spec with struct+numpy alone — the audio analog of the PPM tier, so
+# audio payloads get REAL feature extraction, not the deterministic
+# fake. Compressed audio (MP3/AAC/FLAC) stays an honest undecodable
+# class, exactly like progressive JPEG in the image tier.
+
+
+def synth_wav(doc_id: int, n_samples: int | None = None,
+              rate: int = 8000) -> bytes:
+    """Deterministic 16-bit PCM mono square wave with CLOSED-FORM
+    features (the synth_ppm of the audio tier): |sample| == A
+    everywhere, so rms == peak == A exactly in float64; duration is
+    n/rate. A and the half-period derive from doc_id."""
+    amp = 1000 + (doc_id % 7) * 1000
+    half = (doc_id % 10) + 2
+    n = n_samples if n_samples is not None else 400 + (doc_id % 5) * 80
+    idx = np.arange(n)
+    samples = np.where((idx // half) % 2 == 0, amp, -amp).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """RIFF/WAVE bytes -> (sample_rate, n_channels, samples[int16,
+    frames x channels]). Canonical-PCM (format 1, 16-bit) only;
+    anything else raises, so compressed audio lands in the undecodable
+    accounting class rather than fake features. Chunk walk per the
+    RIFF spec: unknown chunks (LIST, fact, ...) are skipped by their
+    declared size, word-aligned."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)        # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} "
+                         f"bits={bits} (canonical PCM16 only)")
+    samples = np.frombuffer(
+        data[:len(data) - len(data) % (2 * n_channels)], dtype="<i2")
+    return rate, n_channels, samples.reshape(-1, n_channels)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames bigint, "
+    "duration_s double, rms double, peak_abs int"
+)
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload",
+                          key: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL audio decode: duration / RMS / peak from the
+    PCM samples (numpy over the whole batch row's sample array — the
+    audio analog of decode_image_features' luma features). Payloads
+    that are not canonical PCM16 WAVE yield null features — the honest
+    undecodable class, never synthesized numbers."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[key], pdf[payload_col]):
+                b = bytes(payload)
+                try:
+                    rate, nch, s = decode_wav(b)
+                    x = s.astype(np.float64)
+                    rms = round(float(np.sqrt(np.mean(x * x))), 6) \
+                        if s.size else 0.0
+                    peak = int(np.max(np.abs(s))) if s.size else 0
+                    rows.append((int(doc_id), rate, nch, s.shape[0],
+                                 round(s.shape[0] / rate, 6), rms, peak))
+                except Exception:
+                    rows.append((int(doc_id), None, None, None,
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                key, "sample_rate", "n_channels", "n_frames",
+                "duration_s", "rms", "peak_abs"])
+
+    return df.select(key, payload_col).mapInPandas(
+        gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def nearest_resize(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
     """Nearest-neighbor resize via index arithmetic (the decode tier's
     resize primitive — no interpolation libs)."""
@@ -107,13 +240,7 @@ def nearest_resize(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
 def with_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Typed metadata struct from native expressions only (no Python)."""
     p = F.col(payload_col)
-    mime = F.lit("application/octet-stream")
-    for prefix, m in reversed(_MAGIC):
-        hexpfx = prefix.hex()
-        mime = F.when(
-            F.hex(F.substring(p, 1, len(prefix))) == F.lit(hexpfx.upper()),
-            F.lit(m),
-        ).otherwise(mime)
+    mime = _mime_expr(p)
     return df.withColumn(
         "payload_meta",
         F.struct(
@@ -130,27 +257,22 @@ def decode_tier_accounting(df: DataFrame,
     (mime, decode_tier) where decode_tier names the decoder that WOULD
     handle the payload —
 
-      'builtin'      PPM/PNG/JPEG: the from-scratch numpy / png_codec /
-                     jpeg_codec paths (baseline JPEG; progressive or
-                     subsampled profiles degrade at decode time to PIL
-                     when importable, else honest nulls)
+      'builtin'      PPM/PNG/JPEG/WAV: the from-scratch numpy /
+                     png_codec / jpeg_codec / decode_wav paths
+                     (baseline JPEG; progressive or subsampled
+                     profiles degrade at decode time to PIL when
+                     importable, else honest nulls; non-PCM16 WAV
+                     yields nulls the same way)
       'fake'         everything else (deterministic fake decode)
 
     The honesty layer the decode tier owes its accounting: payloads
     that cannot really decode must never surface as generic binary
     that 'decoded' — decode_image_features returns null features for a
     JPEG no tier could handle."""
-    p = F.col(payload_col)
-    mime = F.lit("application/octet-stream")
-    for prefix, m in reversed(_MAGIC):
-        mime = F.when(
-            F.hex(F.substring(p, 1, len(prefix)))
-            == F.lit(prefix.hex().upper()),
-            F.lit(m)).otherwise(mime)
-    out = df.withColumn("mime", mime)
+    out = df.withColumn("mime", _mime_expr(F.col(payload_col)))
     tier = (
         F.when(F.col("mime").isin("image/x-portable-pixmap", "image/png",
-                                  "image/jpeg"),
+                                  "image/jpeg", "audio/wav"),
                F.lit("builtin"))
         .otherwise(F.lit("fake")))
     return out.withColumn("decode_tier", tier)

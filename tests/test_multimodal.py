@@ -219,3 +219,99 @@ class TestPpmDecode:
         df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
         out = decode_image_features(df).collect()
         assert len(out) == 1 and out[0]["width"] >= 64  # fake-path dims
+
+
+class TestWavDecode:
+    def test_roundtrip_closed_form(self):
+        import numpy as np
+
+        from docling_eval_spark.operators.multimodal import (
+            decode_wav, synth_wav)
+
+        rate, nch, s = decode_wav(synth_wav(13))
+        amp, n = 1000 + (13 % 7) * 1000, 400 + (13 % 5) * 80
+        assert (rate, nch) == (8000, 1) and s.shape == (n, 1)
+        # square wave: |sample| == amp everywhere -> rms == peak == amp
+        assert int(np.max(np.abs(s))) == amp
+        assert float(np.sqrt(np.mean(s.astype(np.float64) ** 2))) == amp
+        # half-period sign structure from the construction
+        half = (13 % 10) + 2
+        assert int(s[0, 0]) == amp and int(s[half, 0]) == -amp
+
+    def test_chunk_walk_skips_unknown_and_word_aligns(self):
+        import struct
+
+        from docling_eval_spark.operators.multimodal import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+        data = struct.pack("<4h", 10, -10, 20, -20)  # 2 frames stereo
+        # LIST (odd size -> pad byte) and fact chunks precede fmt/data
+        payload = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+                   + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+                   + b"fact" + struct.pack("<I", 4) + struct.pack("<I", 2)
+                   + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(data)) + data)
+        rate, nch, s = decode_wav(payload)
+        assert (rate, nch) == (44100, 2)
+        assert s.tolist() == [[10, -10], [20, -20]]
+
+    def test_non_canonical_formats_raise(self):
+        import struct
+
+        import pytest as _pytest
+
+        from docling_eval_spark.operators.multimodal import (
+            decode_wav, synth_wav)
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"not riff at all")
+        # IEEE-float format (3) and 8-bit PCM must both refuse
+        for audio_format, bits in ((3, 32), (1, 8)):
+            fmt = struct.pack("<HHIIHH", audio_format, 1, 8000,
+                              8000, 1, bits)
+            payload = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+                       + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                       + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+            with _pytest.raises(ValueError):
+                decode_wav(payload)
+        # synth output is sniffed as audio/wav (RIFF form sub-dispatch)
+        assert synth_wav(1)[:4] == b"RIFF" and synth_wav(1)[8:12] == b"WAVE"
+
+    def test_decode_audio_features_mixed(self, spark):
+        from docling_eval_spark.operators.multimodal import (
+            decode_audio_features, synth_wav)
+
+        rows = [(d, bytearray(synth_wav(d))) for d in range(4)]
+        rows.append((99, bytearray(b"ID3\x03mp3-ish bytes")))
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        out = {r["doc_id"]: r for r in decode_audio_features(df).collect()}
+        for d in range(4):
+            amp, n = 1000 + (d % 7) * 1000, 400 + (d % 5) * 80
+            r = out[d]
+            assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+            assert r["n_frames"] == n and r["peak_abs"] == amp
+            assert r["rms"] == float(amp)
+            assert r["duration_s"] == round(n / 8000, 6)
+        # compressed audio -> all-null features, never synthesized
+        r99 = out[99]
+        assert all(r99[c] is None for c in (
+            "sample_rate", "n_channels", "n_frames", "duration_s",
+            "rms", "peak_abs"))
+
+    def test_riff_form_subdispatch(self, spark):
+        from docling_eval_spark.operators.multimodal import (
+            decode_tier_accounting, synth_wav)
+
+        rows = [
+            (1, bytearray(synth_wav(1))),
+            (2, bytearray(b"RIFF\x00\x00\x00\x00AVI LIST")),
+            (3, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),
+            (4, bytearray(b"RIFF\x00\x00\x00\x00????body")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        out = {r.doc_id: (r.mime, r.decode_tier) for r in
+               decode_tier_accounting(df).collect()}
+        assert out[1] == ("audio/wav", "builtin")
+        assert out[2] == ("video/x-msvideo", "fake")
+        assert out[3] == ("image/webp", "fake")
+        assert out[4] == ("application/octet-stream", "fake")
