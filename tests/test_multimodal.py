@@ -1,7 +1,9 @@
-"""Multimodal plumbing tests: binary payloads, typed metadata, decode stub,
-UDTF-style frame fan-out. The decode is a documented deterministic fake
-(no codec libs here); what these tests pin down is the Spark-side contract:
-schemas, determinism, fan-out row counts, and native metadata columns.
+"""Multimodal plumbing tests: binary payloads, typed metadata, decode
+tiers, UDTF-style frame fan-out. PPM/PNG/JPEG images and PCM16 WAV audio
+decode REAL through the from-scratch codecs; only unknown payloads ride
+the documented deterministic fake. These tests pin both the decode math
+and the Spark-side contract: schemas, determinism, fan-out row counts,
+and native metadata columns.
 """
 
 from __future__ import annotations
