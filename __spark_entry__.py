@@ -1562,6 +1562,61 @@ def _q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(payloads).orderBy("doc_id")
 
 
+_ROBOTS_TXT_STAR = (
+    "# synthetic fixture\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow: /p*.html$\n"
+    "\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n")
+_ROBOTS_TXT_EXACT = (
+    "User-agent: ccbot\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+    "User-agent: *\n"
+    "Allow: /\n")
+
+
+def _q_robots_txt_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt verdicts (operators/robots.py) over a
+    closed-form fixture: domain groups of 5 docs, k=(g%3) picks the
+    robots.txt shape (0: none -> all allowed; 1: '*' group with
+    prefix/override/wildcard-anchor rules, plus an otherbot group that
+    must be IGNORED for agent ccbot; 2: an exact multi-agent ccbot
+    group Disallow:/ that must beat the '*' Allow:/ -> all
+    disallowed), m=(doc_id%5) picks the path. The oracle re-derives
+    every verdict from (k, m) arithmetic — group selection,
+    longest-match, allow-tie and wildcard/$ semantics all flip the
+    hash if wrong."""
+    from docling_eval_spark.operators.robots import (
+        compile_robots, with_robots_verdict)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").where(F.col("doc_id") < 500))
+    g = (F.col("doc_id") / 5).cast("long")
+    m = F.col("doc_id") % 5
+    path = (F.when(m == 0, F.lit("/"))
+            .when(m == 1, F.lit("/private/x"))
+            .when(m == 2, F.lit("/private/ok/y"))
+            .when(m == 3, F.lit("/pabc.html"))
+            .otherwise(F.lit("/q?z=1")))
+    pages = docs.withColumn("url", F.concat(
+        F.lit("https://h"), g.cast("string"), F.lit(".example"), path))
+    doms = (docs.select(g.alias("_g")).distinct()
+            .where(F.col("_g") % 3 != 0))
+    robots = doms.select(
+        F.concat(F.lit("h"), F.col("_g").cast("string"),
+                 F.lit(".example")).alias("domain"),
+        F.when(F.col("_g") % 3 == 1, F.lit(_ROBOTS_TXT_STAR))
+        .otherwise(F.lit(_ROBOTS_TXT_EXACT)).alias("robots_txt"))
+    rules = compile_robots(robots, agent="ccbot")
+    return (with_robots_verdict(pages, rules)
+            .select("doc_id", "domain", "robots_txt_allowed")
+            .orderBy("doc_id"))
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -2795,16 +2850,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 4 round-5 additions (lang_id_classifier,
+    decode), then the 5 round-5 additions (lang_id_classifier,
     video_container_counts, perplexity_by_lang,
-    audio_decode_features), then the 6 remaining r02-era rows
+    audio_decode_features, robots_txt_verdicts), then the 6 remaining
+    r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 21 r3-era fills
-    (min_cost_supplier and ngram_decontaminate slide just past the
-    window to slots 51-52).
+    webtext_latest_snapshot, c4_line_filter), then 20 r3-era fills
+    (late_orders, min_cost_supplier and ngram_decontaminate slide
+    just past the window to slots 51-53).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -2837,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_container_counts": _q_video_container_counts,
         "perplexity_by_lang": _q_perplexity_by_lang,
         "audio_decode_features": _q_audio_decode_features,
+        "robots_txt_verdicts": _q_robots_txt_verdicts,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -3823,6 +3880,23 @@ def oracle_sql() -> dict[str, str]:
             "round(cast(amp AS double), 6) END AS rms, "
             "cast(CASE WHEN und THEN NULL ELSE amp END AS int) "
             "AS peak_abs "
+            "FROM d ORDER BY doc_id"
+        ),
+        # robots fixture (see _q_robots_txt_verdicts): k = (doc_id//5)%3
+        # selects the robots.txt shape (0 none / 1 star-group rules /
+        # 2 exact ccbot Disallow-all), m = doc_id%5 the path; verdicts
+        # re-derived closed-form: k=1 disallows m=1 (/private prefix)
+        # and m=3 (/p*.html$ wildcard), allows m=2 (longer Allow
+        # overrides) and m in (0,4) (no match).
+        "robots_txt_verdicts": (
+            "WITH d AS (SELECT doc_id, doc_id // 5 AS g, "
+            "(doc_id // 5) % 3 AS k, doc_id % 5 AS m "
+            "FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id, "
+            "'h' || cast(g AS varchar) || '.example' AS domain, "
+            "CASE WHEN k = 0 THEN TRUE WHEN k = 2 THEN FALSE "
+            "WHEN m = 1 OR m = 3 THEN FALSE ELSE TRUE END "
+            "AS robots_txt_allowed "
             "FROM d ORDER BY doc_id"
         ),
         "png_decode_features": (

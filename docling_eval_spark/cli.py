@@ -303,6 +303,21 @@ def cmd_curate(args) -> None:
         kept = deduped.where("url_keep_first").drop(
             "url_norm", "n_same_url", "url_keep_first")
         n_url_dropped = n_input - kept.count()
+    n_robots_dropped = 0
+    if args.robots_txt:
+        # REP compliance gate (RFC 9309): drop pages whose domain's
+        # robots.txt disallows the agent — right after URL dedup so the
+        # per-domain rule probe pays only for unique urls, before any
+        # text-heavy stage touches disallowed pages at all
+        from .operators.robots import compile_robots, with_robots_verdict
+
+        robots = spark.read.parquet(args.robots_txt)
+        rules = compile_robots(robots, agent=args.robots_agent)
+        before = kept.count()
+        kept = (with_robots_verdict(kept, rules, url_col=args.url_col)
+                .where("robots_txt_allowed")
+                .drop("robots_txt_allowed", "domain"))
+        n_robots_dropped = before - kept.count()
     if args.normalize:
         # replace the text column; keep the changed flag through the
         # gates so the PII aggregation pass can count it for free
@@ -389,6 +404,8 @@ def cmd_curate(args) -> None:
         summary["sample_rate"] = args.sample
     if args.url_dedup:
         summary["n_url_duplicates_dropped"] = n_url_dropped
+    if args.robots_txt:
+        summary["n_robots_disallowed_dropped"] = n_robots_dropped
     if args.lang_id:
         summary["n_lang_dropped"] = n_lang_dropped
     if args.normalize:
@@ -470,6 +487,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="canonical-URL exact dedup first (RefinedWeb "
                          "stage ordering)")
     cu.add_argument("--url-col", default="url")
+    cu.add_argument("--robots-txt", default=None,
+                    help="parquet table (domain, robots_txt): drop "
+                         "pages the domain's robots.txt disallows "
+                         "(RFC 9309 longest-match)")
+    cu.add_argument("--robots-agent", default="*",
+                    help="product token to evaluate robots.txt "
+                         "groups for (with --robots-txt)")
     cu.add_argument("--normalize", action="store_true")
     cu.add_argument("--lang-id", action="store_true",
                     help="classify page language (hashed char-n-gram "
