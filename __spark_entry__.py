@@ -1617,6 +1617,48 @@ def _q_robots_txt_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_cdx_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index-first ingestion (sources/cdx.py): two captures per
+    url (g = doc_id//2), native-built CDXJ lines parse back through
+    the native parser, then the manifest pipeline — status-200 +
+    text/html selection, latest-capture-per-url collapse (max_by),
+    payload-digest dedup (digest groups of 3 urls, min-(ts,url)
+    winner), byte-range manifest out. Torn lines (c=0 captures of
+    g%11==3) must null-parse and drop without shifting any winner.
+    The oracle re-derives every surviving row from the doc_id
+    arithmetic — selection, collapse, dedup tie-break and the typed
+    offset/length all flip the hash."""
+    from docling_eval_spark.sources.cdx import (
+        cdx_fetch_manifest, parse_cdxj)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").where(F.col("doc_id") < 500))
+    g = (F.col("doc_id") / 2).cast("long")
+    c = F.col("doc_id") % 2
+    gs = g.cast("string")
+    url = F.concat(F.lit("https://h"), gs, F.lit(".example/p"), gs)
+    block = F.to_json(F.struct(
+        url.alias("url"),
+        F.when(g % 5 == 0, F.lit("application/pdf"))
+        .otherwise(F.lit("text/html")).alias("mime"),
+        F.when(g % 7 == 0, F.lit("404")).otherwise(F.lit("200"))
+        .alias("status"),
+        F.concat(F.lit("sha1:"), (g / 3).cast("long").cast("string"))
+        .alias("digest"),
+        (F.lit(50) + F.col("doc_id") % 10).cast("string").alias("length"),
+        (F.col("doc_id") * 100).cast("string").alias("offset"),
+        F.concat(F.lit("w"), (g % 4).cast("string"),
+                 F.lit(".warc.gz")).alias("filename")))
+    ts = F.when(c == 0, F.lit("20240101000000")) \
+        .otherwise(F.lit("20240201000000"))
+    line = F.concat(F.lit("example,h"), gs, F.lit(")/p"), gs,
+                    F.lit(" "), ts, F.lit(" "), block)
+    line = F.when((c == 0) & (g % 11 == 3),
+                  F.lit("torn line no json")).otherwise(line)
+    caps = parse_cdxj(docs.select(line.alias("line")))
+    return cdx_fetch_manifest(caps).orderBy("url")
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -2850,17 +2892,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 5 round-5 additions (lang_id_classifier,
+    decode), then the 6 round-5 additions (lang_id_classifier,
     video_container_counts, perplexity_by_lang,
-    audio_decode_features, robots_txt_verdicts), then the 6 remaining
-    r02-era rows
+    audio_decode_features, robots_txt_verdicts, cdx_fetch_manifest),
+    then the 6 remaining r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 20 r3-era fills
-    (late_orders, min_cost_supplier and ngram_decontaminate slide
-    just past the window to slots 51-53).
+    webtext_latest_snapshot, c4_line_filter), then 19 r3-era fills
+    (large_orders, late_orders, min_cost_supplier and
+    ngram_decontaminate slide just past the window to slots 51-54).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -2894,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_by_lang": _q_perplexity_by_lang,
         "audio_decode_features": _q_audio_decode_features,
         "robots_txt_verdicts": _q_robots_txt_verdicts,
+        "cdx_fetch_manifest": _q_cdx_fetch_manifest,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -3898,6 +3941,28 @@ def oracle_sql() -> dict[str, str]:
             "WHEN m = 1 OR m = 3 THEN FALSE ELSE TRUE END "
             "AS robots_txt_allowed "
             "FROM d ORDER BY doc_id"
+        ),
+        # CDXJ fixture (see _q_cdx_fetch_manifest): g = doc_id//2, two
+        # captures per url; keep g where status 200 (g%7!=0) and html
+        # (g%5!=0); latest capture is doc_id = 2g+1 (ts 2024-02-01);
+        # digest groups dg = g//3 keep the min-url winner (ts all equal
+        # after the latest collapse, so the struct tie-break is the
+        # lexicographic url — same ASCII order in DuckDB and the JVM).
+        "cdx_fetch_manifest": (
+            "WITH d AS (SELECT DISTINCT doc_id // 2 AS g FROM documents "
+            "WHERE doc_id < 500), "
+            "kept AS (SELECT g, 'https://h' || cast(g AS varchar) || "
+            "'.example/p' || cast(g AS varchar) AS url, g // 3 AS dg, "
+            "'w' || cast(g % 4 AS varchar) || '.warc.gz' AS fn, "
+            "(2 * g + 1) * 100 AS off, 50 + (2 * g + 1) % 10 AS len "
+            "FROM d WHERE g % 7 != 0 AND g % 5 != 0), "
+            "winners AS (SELECT dg, min(url) AS url FROM kept GROUP BY dg) "
+            "SELECT k.url, TIMESTAMP '2024-02-01 00:00:00' AS capture_ts, "
+            "'sha1:' || cast(k.dg AS varchar) AS digest, "
+            "k.fn AS warc_filename, cast(k.off AS bigint) AS offset, "
+            "cast(k.len AS bigint) AS length "
+            "FROM kept k JOIN winners w ON k.dg = w.dg AND k.url = w.url "
+            "ORDER BY k.url"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

@@ -1,0 +1,104 @@
+"""CDXJ index source: native parse, SURT host reversal, and the
+index-first fetch-manifest pipeline (select -> latest -> digest-dedup
+-> per-archive ordered byte ranges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _line(surt, ts, **kw):
+    import json
+    return f"{surt} {ts} {json.dumps(kw)}"
+
+
+_CAPS = [
+    _line("org,example)/a", "20240101000000", url="https://example.org/a",
+          mime="text/html", status="200", digest="sha1:AAA",
+          length="100", offset="0", filename="w1.warc.gz"),
+    _line("org,example)/a", "20240201000000", url="https://example.org/a",
+          mime="text/html", status="200", digest="sha1:BBB",
+          length="120", offset="200", filename="w2.warc.gz"),
+    _line("org,example)/b", "20240101000000", url="https://example.org/b",
+          mime="text/html", status="200", digest="sha1:BBB",
+          length="120", offset="400", filename="w1.warc.gz"),
+    _line("org,example)/c", "20240101000000", url="https://example.org/c",
+          mime="application/pdf", status="200", digest="sha1:CCC",
+          length="9", offset="600", filename="w1.warc.gz"),
+    _line("org,example)/d", "20240101000000", url="https://example.org/d",
+          mime="text/html", status="404", digest="sha1:DDD",
+          length="9", offset="800", filename="w1.warc.gz"),
+    "torn line without a json block",
+]
+
+
+class TestCdx:
+    def test_parse_native_and_torn_lines(self, spark):
+        from docling_eval_spark.sources.cdx import parse_cdxj
+
+        df = spark.createDataFrame([(l,) for l in _CAPS], ["line"])
+        caps = parse_cdxj(df)
+        # the whole parse is JVM expressions — no Python stage
+        plan = caps._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        rows = caps.collect()
+        ok = [r for r in rows if r["offset"] is not None]
+        assert len(ok) == 5 and len(rows) == 6
+        a = min(ok, key=lambda r: r["offset"])
+        assert (a["surt_key"], a["status"], a["length"],
+                a["warc_filename"]) == ("org,example)/a", 200, 100,
+                                        "w1.warc.gz")
+        assert str(a["capture_ts"]).startswith("2024-01-01")
+        torn = [r for r in rows if r["offset"] is None][0]
+        assert torn["capture_ts"] is None and torn["url"] is None
+
+    def test_surt_host_reversal(self, spark):
+        from docling_eval_spark.sources.cdx import surt_host
+
+        df = spark.createDataFrame(
+            [("com,example,sub)/x",), ("org,example)/",)], ["k"])
+        hosts = [r[0] for r in
+                 df.select(surt_host(F.col("k"))).collect()]
+        assert hosts == ["sub.example.com", "example.org"]
+
+    def test_manifest_select_latest_dedup(self, spark):
+        from docling_eval_spark.sources.cdx import (
+            cdx_fetch_manifest, parse_cdxj)
+
+        caps = parse_cdxj(
+            spark.createDataFrame([(l,) for l in _CAPS], ["line"]))
+        man = cdx_fetch_manifest(caps).collect()
+        # /c (pdf) and /d (404) selected out; /a collapses to its
+        # latest capture whose payload digest equals /b's, and the
+        # digest winner is the min-(ts, url) capture -> only /b
+        assert len(man) == 1
+        r = man[0]
+        assert (r["url"], r["warc_filename"], r["offset"],
+                r["length"], r["digest"]) == (
+            "https://example.org/b", "w1.warc.gz", 400, 120, "sha1:BBB")
+
+    def test_manifest_orders_ranges_within_archive(self, spark):
+        from docling_eval_spark.sources.cdx import (
+            cdx_fetch_manifest, parse_cdxj)
+
+        lines = [
+            _line(f"org,example)/p{i}", "20240101000000",
+                  url=f"https://example.org/p{i}", mime="text/html",
+                  status="200", digest=f"sha1:{i}", length="10",
+                  offset=str((37 * i) % 100 * 10),
+                  filename=f"w{i % 2}.warc.gz")
+            for i in range(20)
+        ]
+        caps = parse_cdxj(spark.createDataFrame([(l,) for l in lines],
+                                                ["line"]))
+        man = cdx_fetch_manifest(caps)
+        # within each partition, ranges must be forward-seek ordered
+        def check(it):
+            last = {}
+            for row in it:
+                key = row["warc_filename"]
+                assert key not in last or row["offset"] >= last[key]
+                last[key] = row["offset"]
+                yield row
+        assert len(man.rdd.mapPartitions(
+            lambda it: check(it)).collect()) == 20
