@@ -27,6 +27,11 @@ reads each WARC sequentially.
 
 from __future__ import annotations
 
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -119,3 +124,121 @@ def cdx_fetch_manifest(captures: DataFrame,
     return (sel.select(*cols)
             .repartition(F.col("warc_filename"))
             .sortWithinPartitions("warc_filename", "offset"))
+
+
+def _iter_gzip_members(payload: bytes):
+    """Walk a multi-member gzip stream: yield (offset, length,
+    decompressed) per member — the member boundary is what
+    `unused_data` exposes after each member's trailer."""
+    pos, n = 0, len(payload)
+    while pos < n:
+        d = zlib.decompressobj(31)
+        data = d.decompress(payload[pos:])
+        if not d.eof:            # torn trailing member
+            break
+        end = n - len(d.unused_data)
+        yield pos, end - pos, data
+        pos = end
+
+
+def _surt(url: str) -> str:
+    """Forward URL -> SURT sort key: reverse the host labels, keep the
+    path — 'https://sub.example.com/a/b' -> 'com,example,sub)/a/b'."""
+    rest = url.split("://", 1)[-1]
+    host, _, path = rest.partition("/")
+    host = host.split("@")[-1].split(":")[0].lower()
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
+INDEX_SCHEMA = (
+    "surt_key string, capture_ts timestamp, url string, mime string, "
+    "status int, digest string, warc_filename string, offset long, "
+    "length long"
+)
+
+
+def index_warc_members(df: DataFrame, payload_col: str = "content",
+                       path_col: str = "path") -> DataFrame:
+    """The cdxj-indexer analog: WARC archives -> typed capture rows
+    with REAL byte ranges, one Arrow stage. Archives fan out at
+    input-split parallelism; each record's (offset, length) is its
+    gzip member's range (the .warc.gz record-per-member layout), the
+    digest is the sha1 of the response entity body (hex — Common
+    Crawl uses base32 of the same hash), and the SURT key is derived
+    from the target URI. Plain (non-gzip) archives yield no index rows
+    — an index needs member framing to be seekable; parse those with
+    warc_records instead."""
+    from .warc import parse_warc
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:2] != b"\x1f\x8b":
+                    continue
+                for off, length, data in _iter_gzip_members(b):
+                    recs, _bad = parse_warc(data)
+                    for r in recs:
+                        if r["rec_type"] != "response" or not r["url"]:
+                            continue
+                        rows.append((
+                            _surt(r["url"]), r["warc_ts"], r["url"],
+                            r["mime"], r["http_status"],
+                            "sha1:" + hashlib.sha1(r["body"]).hexdigest(),
+                            path, off, length))
+            yield pd.DataFrame(rows, columns=list(CDX_COLUMNS))
+
+    return df.select(path_col, payload_col).mapInPandas(
+        gen, schema=INDEX_SCHEMA)
+
+
+FETCHED_SCHEMA = ("warc_filename string, url string, warc_ts timestamp, "
+                  "http_status int, mime string, html binary")
+
+
+def fetch_manifest_records(manifest: DataFrame, archives: DataFrame,
+                           payload_col: str = "content",
+                           path_col: str = "path") -> DataFrame:
+    """Index-first record extraction: a `cdx_fetch_manifest` joined
+    back to archive bytes, decoding ONLY the selected byte ranges.
+
+    Scale shape: ranges group per archive first (collect_list of the
+    SMALL (offset, length) structs, offset-sorted), join one-row-per-
+    archive — the archive bytes are never duplicated per selected
+    record — then one Arrow stage gunzips each selected member
+    standalone (a CDXJ range is one complete gzip member) and parses
+    it through the WARC machinery. The un-selected bytes of the
+    archive are never decompressed; on object storage this becomes
+    ranged GETs and the archive column disappears entirely."""
+    from .warc import parse_warc
+
+    ranges = manifest.groupBy("warc_filename").agg(
+        F.sort_array(F.collect_list(F.struct("offset", "length")))
+        .alias("_ranges"))
+    joined = (archives
+              .select(F.col(path_col).alias("warc_filename"),
+                      F.col(payload_col).alias("_bytes"))
+              .join(ranges, "warc_filename"))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for fn, payload, rngs in zip(
+                    pdf["warc_filename"], pdf["_bytes"], pdf["_ranges"]):
+                b = bytes(payload)
+                for r in rngs:
+                    off, length = int(r["offset"]), int(r["length"])
+                    member = b[off:off + length]
+                    if member[:2] == b"\x1f\x8b":
+                        member = zlib.decompress(member, 31)
+                    recs, _bad = parse_warc(member)
+                    for rec in recs:
+                        rows.append((fn, rec["url"], rec["warc_ts"],
+                                     rec["http_status"], rec["mime"],
+                                     rec["body"]))
+            yield pd.DataFrame(rows, columns=[
+                "warc_filename", "url", "warc_ts", "http_status",
+                "mime", "html"])
+
+    return joined.mapInPandas(gen, schema=FETCHED_SCHEMA)

@@ -102,3 +102,77 @@ class TestCdx:
                 yield row
         assert len(man.rdd.mapPartitions(
             lambda it: check(it)).collect()) == 20
+
+
+class TestIndexAndRangedFetch:
+    def _archives(self, spark, n1=5, n2=3):
+        from datetime import datetime, timezone
+
+        from docling_eval_spark.sources.warc import build_warc
+
+        def recs(n, ts, suffix=""):
+            return [(f"https://h{i}.example/p{i}",
+                     ts, f"<html>doc {i}{suffix}</html>".encode())
+                    for i in range(n)]
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        return spark.createDataFrame(
+            [("w1.warc.gz", bytearray(build_warc(recs(n1, t1)))),
+             ("w2.warc.gz", bytearray(build_warc(recs(n2, t2, " v2"))))],
+            "path string, content binary")
+
+    def test_index_recovers_member_ranges(self, spark):
+        import gzip
+
+        from docling_eval_spark.sources.cdx import index_warc_members
+        from docling_eval_spark.sources.warc import parse_warc
+
+        arch = self._archives(spark)
+        payload = bytes(arch.where("path = 'w1.warc.gz'")
+                        .collect()[0]["content"])
+        rows = (index_warc_members(arch)
+                .where("warc_filename = 'w1.warc.gz'")
+                .orderBy("offset").collect())
+        assert len(rows) == 5 and rows[0]["offset"] == 0
+        # contiguous member framing: next offset == offset + length
+        for a, b in zip(rows, rows[1:]):
+            assert b["offset"] == a["offset"] + a["length"]
+        assert rows[-1]["offset"] + rows[-1]["length"] == len(payload)
+        # each range decodes STANDALONE to exactly its record
+        r = rows[2]
+        member = gzip.decompress(
+            payload[r["offset"]:r["offset"] + r["length"]])
+        recs, bad = parse_warc(member)
+        assert bad == 0 and len(recs) == 1
+        assert recs[0]["url"] == r["url"] == "https://h2.example/p2"
+        assert (r["status"], r["mime"]) == (200, "text/html")
+        assert r["surt_key"] == "example,h2)/p2"
+
+    def test_plain_archives_yield_no_index(self, spark):
+        from datetime import datetime, timezone
+
+        from docling_eval_spark.sources.cdx import index_warc_members
+        from docling_eval_spark.sources.warc import build_warc
+
+        t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        plain = build_warc([("https://x.example/", t, b"<html/>")],
+                           gzip_members=False)
+        arch = spark.createDataFrame(
+            [("plain.warc", bytearray(plain))],
+            "path string, content binary")
+        assert index_warc_members(arch).count() == 0
+
+    def test_ranged_fetch_end_to_end(self, spark):
+        from docling_eval_spark.sources.cdx import (
+            cdx_fetch_manifest, fetch_manifest_records,
+            index_warc_members)
+
+        arch = self._archives(spark)
+        idx = index_warc_members(arch)
+        out = fetch_manifest_records(cdx_fetch_manifest(idx), arch)
+        rows = {r["url"]: bytes(r["html"]).decode() for r in out.collect()}
+        # latest-capture collapse: h0-h2 come from w2 (v2), h3-h4 w1
+        assert rows == {
+            f"https://h{i}.example/p{i}":
+                f"<html>doc {i}{' v2' if i < 3 else ''}</html>"
+            for i in range(5)}
