@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                          "crawl ingestion edge (extraction-only: no GT "
                          "text exists, so the GT-relative metric columns "
                          "are dropped from the output)")
+    ap.add_argument("--cdx-index",
+                    help="with --input-warc: a CDXJ index (text lines) "
+                         "— select captures index-first (status/mime/"
+                         "latest/digest on the index) and decode ONLY "
+                         "the selected byte ranges instead of parsing "
+                         "every record of every archive")
     ap.add_argument("--synth-from", help="documents parquet dir (hermetic synthetic mode)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
@@ -76,7 +82,28 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
 
         from docling_eval_spark.operators.webtext import latest_snapshot
 
-        recs = warc_records(read_binary_files(spark, args.input_warc))
+        if args.cdx_index:
+            # index-first: filter the ~0.1%-sized index, then decode
+            # only the selected gzip members. CDXJ filenames are
+            # archive-relative while binaryFile paths are absolute —
+            # join on basename.
+            from docling_eval_spark.sources.cdx import (
+                cdx_fetch_manifest, fetch_manifest_records, parse_cdxj)
+
+            base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+            caps = parse_cdxj(
+                spark.read.text(args.cdx_index)
+                .withColumnRenamed("value", "line"))
+            man = cdx_fetch_manifest(caps).withColumn(
+                "warc_filename", base(F.col("warc_filename")))
+            archives = (read_binary_files(spark, args.input_warc)
+                        .select(base(F.col("path")).alias("path"),
+                                "content"))
+            recs = fetch_manifest_records(man, archives,
+                                          payload_col="content",
+                                          path_col="path")
+        else:
+            recs = warc_records(read_binary_files(spark, args.input_warc))
         # recrawled URLs are routine in raw WARC input: collapse to the
         # newest snapshot per url FIRST so doc_id is a genuine unique
         # key, then derive it as the 128-bit md5 of the url (hex string

@@ -176,3 +176,57 @@ class TestIndexAndRangedFetch:
             f"https://h{i}.example/p{i}":
                 f"<html>doc {i}{' v2' if i < 3 else ''}</html>"
             for i in range(5)}
+
+
+def test_extract_job_cdx_index_first(spark, tmp_path):
+    """--cdx-index selects captures on the index and decodes only the
+    chosen byte ranges: non-html captures never reach extraction, and
+    the output matches the full-parse WARC mode for the selected set."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from docling_eval_spark.sources.cdx import index_warc_members
+    from docling_eval_spark.sources.warc import build_warc
+    from jobs.extract_job import main as job_main
+
+    arch = tmp_path / "crawl"
+    arch.mkdir()
+    def body(i):
+        # unique per url, or the manifest's payload-digest dedup
+        # (correctly) collapses identical pages to one fetch
+        return (f"<html><body><div><p>page {i} "
+                + "content words here " * 25
+                + "</p></div></body></html>").encode()
+    t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    (arch / "a.warc.gz").write_bytes(build_warc(
+        [(f"https://c.example/{i}", t, body(i)) for i in range(3)]))
+    (arch / "b.warc.gz").write_bytes(build_warc(
+        [("https://c.example/pdf", t, b"%PDF-fake")],
+        mime="application/pdf"))
+
+    idx = index_warc_members(spark.read.format("binaryFile")
+                             .load(str(arch))
+                             .selectExpr("path", "content")).collect()
+    assert len(idx) == 4
+    lines = []
+    for r in idx:
+        blk = {"url": r["url"], "mime": r["mime"],
+               "status": str(r["status"]), "digest": r["digest"],
+               "length": str(r["length"]), "offset": str(r["offset"]),
+               "filename": r["warc_filename"].split("/")[-1]}
+        ts = r["capture_ts"].strftime("%Y%m%d%H%M%S")
+        lines.append(f"{r['surt_key']} {ts} {_json.dumps(blk)}")
+    cdx = tmp_path / "index.cdxj"
+    cdx.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "out")
+    job_main(["--input-warc", str(arch), "--cdx-index", str(cdx),
+              "--output", out, "--lineage", str(tmp_path / "lineage"),
+              "--run-id", "cdx1", "--partitions", "4"],
+             stop_session=False)
+    rows = spark.read.parquet(out).collect()
+    # the pdf capture was selected out ON THE INDEX
+    assert len(rows) == 3
+    assert {r.url for r in rows} == {f"https://c.example/{i}"
+                                     for i in range(3)}
+    assert all("content words here" in r.extracted_text for r in rows)
