@@ -1709,6 +1709,23 @@ def _q_cdx_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url"))
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5 temperature mixing at alpha=0.5 over the documents langs
+    (en is ~3x any other stratum: it must subsample hardest while the
+    rarest lang is kept whole). alpha=0.5 keeps the whole rate
+    derivation inside IEEE correctly-rounded ops (one division + sqrt
+    + one multiply), so the md5-threshold keep decision is
+    bit-reproducible in the DuckDB oracle — rate math, normalization
+    and the sampler predicate all flip the hash if wrong."""
+    from docling_eval_spark.operators.webtext import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    return (temperature_mix(docs, alpha=0.5, strata_col="lang",
+                            key="doc_id", salt="mix")
+            .orderBy("doc_id"))
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -2942,18 +2959,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 7 round-5 additions (lang_id_classifier,
+    decode), then the 8 round-5 additions (lang_id_classifier,
     video_container_counts, perplexity_by_lang,
     audio_decode_features, robots_txt_verdicts, cdx_fetch_manifest,
-    cdx_ranged_fetch), then the 6 remaining r02-era rows
+    cdx_ranged_fetch, temperature_mix_sample), then the 6 remaining
+    r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 18 r3-era fills
-    (hash_sample_docs, large_orders, late_orders, min_cost_supplier
-    and ngram_decontaminate slide just past the window to slots
-    51-55).
+    webtext_latest_snapshot, c4_line_filter), then 17 r3-era fills
+    (gopher_line_flags, hash_sample_docs, large_orders, late_orders,
+    min_cost_supplier and ngram_decontaminate slide just past the
+    window to slots 51-56).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -2989,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt_verdicts": _q_robots_txt_verdicts,
         "cdx_fetch_manifest": _q_cdx_fetch_manifest,
         "cdx_ranged_fetch": _q_cdx_ranged_fetch,
+        "temperature_mix_sample": _q_temperature_mix,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -4026,6 +4045,22 @@ def oracle_sql() -> dict[str, str]:
             "md5('<d' || cast(doc_id AS varchar) || '>' || text) "
             "AS html_md5 "
             "FROM documents WHERE doc_id < 300 ORDER BY url"
+        ),
+        # temperature mixing, alpha=0.5: keep rate per lang is
+        # sqrt(n_min/n) (division + sqrt + one multiply, all IEEE
+        # correctly-rounded -> the floor'd md5 threshold is
+        # bit-identical to the Spark sampler's int(rate * 16^8)).
+        "temperature_mix_sample": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "m AS (SELECT min(n) AS n_min FROM c), "
+            "r AS (SELECT lang, "
+            "floor(sqrt(cast(n_min AS double) / n) * 4294967296) AS thr "
+            "FROM c, m) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar) "
+            "|| ':mix'), 1, 8))::BIGINT < r.thr "
+            "ORDER BY d.doc_id"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

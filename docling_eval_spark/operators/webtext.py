@@ -802,6 +802,56 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     )
 
 
+def temperature_mix_rates(counts: dict, alpha: float = 0.5,
+                          budget: int | None = None) -> dict:
+    """Per-stratum keep rates for temperature-smoothed source mixing
+    (mT5 §3.1 / XLM-R: sample strata proportional to p^alpha, alpha<1
+    flattens the head so low-resource strata are not drowned).
+
+    With sampling probability q_s ∝ p_s^alpha, the per-document keep
+    rate is r_s ∝ q_s / n_s ∝ n_s^(alpha-1). `budget=None` normalizes
+    the largest rate to 1 (no stratum upsamples — the rarest stratum
+    is taken whole and everything else subsamples to the target mix);
+    an explicit document `budget` scales to an expected output size,
+    capped at 1 per stratum.
+
+    alpha == 0.5 computes via math.sqrt of a single division — both
+    IEEE correctly-rounded, so the rates are bit-identical across
+    engines (the SQL-oracle path). Other alphas use pow, whose last
+    ulp is libm-dependent; fine operationally, but oracle fixtures pin
+    alpha=0.5."""
+    import math
+
+    if not counts:
+        return {}
+    if budget is None:
+        n_min = min(counts.values())
+        if alpha == 0.5:
+            return {s: math.sqrt(n_min / n) for s, n in counts.items()}
+        return {s: (n / n_min) ** (alpha - 1.0)
+                for s, n in counts.items()}
+    z = sum(n ** alpha for n in counts.values())
+    return {s: min(1.0, budget * (n ** alpha / z) / n)
+            for s, n in counts.items()}
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.5,
+                    strata_col: str = "lang", key: str = "doc_id",
+                    salt: str = "", budget: int | None = None) -> DataFrame:
+    """Temperature-smoothed corpus mixing, end to end: count strata
+    (one partial-aggregable groupBy; the stratum table is k rows and
+    collects to the driver like every rollup), derive the mT5 keep
+    rates, apply them with the deterministic md5-threshold sampler —
+    the keep decision stays a pure function of (key, salt), so mixes
+    nest across alphas/budgets and reproduce on any engine or cluster
+    size."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    rates = temperature_mix_rates(counts, alpha=alpha, budget=budget)
+    return stratified_hash_sample(df, rates, strata_col=strata_col,
+                                  key=key, salt=salt)
+
+
 def ngram_contamination(df: DataFrame, benchmark: DataFrame,
                         n: int = 13, key: str = "doc_id",
                         text_col: str = "text",

@@ -939,3 +939,48 @@ def test_duplicate_span_stats_hot_gram_cap(spark):
     assert capped[3].n_dup_positions == 0
     assert capped[1].n_dup_positions == 1
     assert capped[1].dup_covered_tokens == 3
+
+
+def test_temperature_mix_rates_published_rule():
+    """mT5 alpha-smoothing: r_s ∝ n_s^(alpha-1). With budget=None the
+    rarest stratum is kept whole; a budget caps the expected output."""
+    import math
+
+    from docling_eval_spark.operators.webtext import temperature_mix_rates
+
+    counts = {"en": 900, "de": 100, "fr": 25}
+    r = temperature_mix_rates(counts, alpha=0.5)
+    assert r["fr"] == 1.0
+    assert r["de"] == math.sqrt(25 / 100)
+    assert r["en"] == math.sqrt(25 / 900)
+    # expected takes follow q_s ∝ sqrt(p_s): 30/10/5 ratio == sqrt ratio
+    takes = {s: r[s] * counts[s] for s in counts}
+    assert abs(takes["en"] / takes["de"] - 3.0) < 1e-12
+    assert abs(takes["de"] / takes["fr"] - 2.0) < 1e-12
+
+    # alpha=1 is proportional sampling: every rate equal (no reshaping)
+    r1 = temperature_mix_rates(counts, alpha=1.0)
+    assert len({round(v, 12) for v in r1.values()}) == 1
+
+    # explicit budget: expected output ~= budget, capped at 1 per stratum
+    rb = temperature_mix_rates(counts, alpha=0.5, budget=200)
+    exp = sum(rb[s] * counts[s] for s in counts)
+    assert abs(exp - 200) < 1e-9 and all(v <= 1.0 for v in rb.values())
+
+
+def test_temperature_mix_deterministic_and_flattening(spark):
+    from docling_eval_spark.operators.webtext import temperature_mix
+
+    rows = [(i, "en" if i % 10 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = sorted(r["doc_id"] for r in
+                  temperature_mix(df, alpha=0.5, salt="s").collect())
+    out2 = sorted(r["doc_id"] for r in
+                  temperature_mix(df, alpha=0.5, salt="s").collect())
+    assert out1 == out2 and out1
+    kept = temperature_mix(df, alpha=0.5, salt="s") \
+        .groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    # rarest stratum whole; head flattened to ~sqrt ratio (9:1 -> 3:1)
+    assert by["fr"] == 100
+    assert 200 < by["en"] < 400
