@@ -1726,6 +1726,31 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round-trip (sources/warc.py build_wet/wet_export):
+    curated rows shard into .wet.gz conversion-record archives
+    (deterministic xxhash64 sharding, key-sorted inside each shard)
+    and parse back byte-identically — url, text/plain mime, and the
+    md5 of the extracted-text block must all survive; the oracle
+    re-derives every row from the construction."""
+    from docling_eval_spark.sources.warc import warc_records, wet_export
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 400))
+    rows = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), F.col("doc_id").cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text")
+    shards = wet_export(rows, docs_per_shard=50)
+    back = warc_records(shards, responses_only=False)
+    return (back.select(
+        "url", "rec_type", "mime",
+        F.md5("html").alias("text_md5"))
+        .orderBy("url"))
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -2959,19 +2984,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 8 round-5 additions (lang_id_classifier,
+    decode), then the 9 round-5 additions (lang_id_classifier,
     video_container_counts, perplexity_by_lang,
     audio_decode_features, robots_txt_verdicts, cdx_fetch_manifest,
-    cdx_ranged_fetch, temperature_mix_sample), then the 6 remaining
-    r02-era rows
+    cdx_ranged_fetch, temperature_mix_sample, wet_roundtrip), then
+    the 6 remaining r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 17 r3-era fills
-    (gopher_line_flags, hash_sample_docs, large_orders, late_orders,
+    webtext_latest_snapshot, c4_line_filter), then 16 r3-era fills
+    ending at extract_text_md5 in slot 50 (google_docai_spans,
+    gopher_line_flags, hash_sample_docs, large_orders, late_orders,
     min_cost_supplier and ngram_decontaminate slide just past the
-    window to slots 51-56).
+    window to slots 51-57).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -3008,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_manifest": _q_cdx_fetch_manifest,
         "cdx_ranged_fetch": _q_cdx_ranged_fetch,
         "temperature_mix_sample": _q_temperature_mix,
+        "wet_roundtrip": _q_wet_roundtrip,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -4061,6 +4088,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar) "
             "|| ':mix'), 1, 8))::BIGINT < r.thr "
             "ORDER BY d.doc_id"
+        ),
+        # WET round-trip: conversion records carry the text block raw,
+        # so the parsed-back md5 equals md5(text) closed-form.
+        "wet_roundtrip": (
+            "SELECT 'https://h' || cast(doc_id AS varchar) || "
+            "'.example/p' AS url, 'conversion' AS rec_type, "
+            "'text/plain' AS mime, md5(text) AS text_md5 "
+            "FROM documents WHERE doc_id < 400 ORDER BY url"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

@@ -158,16 +158,19 @@ INDEX_SCHEMA = (
 
 
 def index_warc_members(df: DataFrame, payload_col: str = "content",
-                       path_col: str = "path") -> DataFrame:
+                       path_col: str = "path",
+                       rec_types: tuple = ("response",)) -> DataFrame:
     """The cdxj-indexer analog: WARC archives -> typed capture rows
     with REAL byte ranges, one Arrow stage. Archives fan out at
     input-split parallelism; each record's (offset, length) is its
     gzip member's range (the .warc.gz record-per-member layout), the
     digest is the sha1 of the response entity body (hex — Common
     Crawl uses base32 of the same hash), and the SURT key is derived
-    from the target URI. Plain (non-gzip) archives yield no index rows
-    — an index needs member framing to be seekable; parse those with
-    warc_records instead."""
+    from the target URI. `rec_types` selects what indexes — responses
+    by default; ("conversion",) indexes WET extracted-text shards
+    through the same machinery. Plain (non-gzip) archives yield no
+    index rows — an index needs member framing to be seekable; parse
+    those with warc_records instead."""
     from .warc import parse_warc
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,7 +183,7 @@ def index_warc_members(df: DataFrame, payload_col: str = "content",
                 for off, length, data in _iter_gzip_members(b):
                     recs, _bad = parse_warc(data)
                     for r in recs:
-                        if r["rec_type"] != "response" or not r["url"]:
+                        if r["rec_type"] not in rec_types or not r["url"]:
                             continue
                         rows.append((
                             _surt(r["url"]), r["warc_ts"], r["url"],

@@ -176,3 +176,47 @@ class TestWarcRecordsSpark:
         assert len(out) == 1
         assert "real content words" in out[0].extracted_text
         assert "home" not in out[0].extracted_text  # nav is boilerplate
+
+
+class TestWetExport:
+    def test_wet_roundtrip_and_sharding(self, spark):
+        from docling_eval_spark.sources.warc import warc_records, wet_export
+
+        rows = [(i, f"https://h{i}.example/p", _dt(0),
+                 f"extracted text {i}") for i in range(25)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts timestamp, text string")
+        shards = wet_export(df, docs_per_shard=10)
+        paths = sorted(r["path"] for r in shards.select("path").collect())
+        assert len(paths) == 3 and paths[0] == "shard-00000.warc.wet.gz"
+        back = warc_records(shards, responses_only=False)
+        got = {r["url"]: (r["rec_type"], r["mime"],
+                          bytes(r["html"]).decode()) for r in back.collect()}
+        assert len(got) == 25
+        assert got["https://h7.example/p"] == (
+            "conversion", "text/plain", "extracted text 7")
+        # responses_only (the default) must skip conversion records
+        assert warc_records(shards).count() == 0
+
+    def test_wet_shards_index_through_cdx(self, spark):
+        """WET shards keep the record-per-gzip-member framing, so the
+        cdx indexer range-indexes them with rec_types=('conversion',)
+        and the ranged fetcher recovers the exact text blocks."""
+        from docling_eval_spark.sources.cdx import (
+            cdx_fetch_manifest, fetch_manifest_records,
+            index_warc_members)
+        from docling_eval_spark.sources.warc import wet_export
+
+        rows = [(i, f"https://h{i}.example/p", _dt(0),
+                 f"unique text {i}") for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts timestamp, text string")
+        shards = wet_export(df, docs_per_shard=4)
+        assert index_warc_members(shards).count() == 0  # default: responses
+        idx = index_warc_members(shards, rec_types=("conversion",))
+        assert idx.count() == 8
+        man = cdx_fetch_manifest(idx, statuses=(), mimes=("text/plain",))
+        out = fetch_manifest_records(man, shards)
+        got = {r["url"]: bytes(r["html"]).decode() for r in out.collect()}
+        assert got == {f"https://h{i}.example/p": f"unique text {i}"
+                       for i in range(8)}
