@@ -1751,6 +1751,23 @@ def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url"))
 
 
+def _q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants 2007) with a REAL
+    train/score split — the model trains on doc_id < 300 and scores
+    300-399, so unseen bigrams genuinely take the backoff branch and
+    OOV tokens the half-count floor. The DuckDB oracle recomputes the
+    full model (bigram + unigram counts + N) and every per-position
+    score; the bigram/backoff branch choice, both denominators, the
+    0.4 factor and the OOV floor all flip the hash."""
+    from docling_eval_spark.operators.webtext import stupid_backoff_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    train = docs.where(F.col("doc_id") < 300)
+    score = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    return stupid_backoff_logprob(score, train_df=train).orderBy("doc_id")
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -2984,20 +3001,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 9 round-5 additions (lang_id_classifier,
+    decode), then the 10 round-5 additions (lang_id_classifier,
     video_container_counts, perplexity_by_lang,
     audio_decode_features, robots_txt_verdicts, cdx_fetch_manifest,
-    cdx_ranged_fetch, temperature_mix_sample, wet_roundtrip), then
-    the 6 remaining r02-era rows
+    cdx_ranged_fetch, temperature_mix_sample, wet_roundtrip,
+    stupid_backoff_nll), then the 6 remaining r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 16 r3-era fills
-    ending at extract_text_md5 in slot 50 (google_docai_spans,
-    gopher_line_flags, hash_sample_docs, large_orders, late_orders,
-    min_cost_supplier and ngram_decontaminate slide just past the
-    window to slots 51-57).
+    webtext_latest_snapshot, c4_line_filter), then 15 r3-era fills
+    ending at extract_identity_rate in slot 50 (extract_text_md5,
+    google_docai_spans, gopher_line_flags, hash_sample_docs,
+    large_orders, late_orders, min_cost_supplier and
+    ngram_decontaminate slide just past the window to slots 51-58).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -3035,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_ranged_fetch": _q_cdx_ranged_fetch,
         "temperature_mix_sample": _q_temperature_mix,
         "wet_roundtrip": _q_wet_roundtrip,
+        "stupid_backoff_nll": _q_stupid_backoff,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -4096,6 +4114,37 @@ def oracle_sql() -> dict[str, str]:
             "'.example/p' AS url, 'conversion' AS rec_type, "
             "'text/plain' AS mime, md5(text) AS text_md5 "
             "FROM documents WHERE doc_id < 400 ORDER BY url"
+        ),
+        # Stupid Backoff: full model recompute. Bigrams via 1-indexed
+        # list_transform over range(1, len) = positions 1..len-1.
+        "stupid_backoff_nll": (
+            "WITH tr AS (SELECT string_split_regex(trim(text), '\\s+') "
+            "AS ws FROM documents WHERE doc_id < 300), "
+            "tt AS (SELECT unnest(ws) AS t FROM tr WHERE len(ws) >= 1), "
+            "uni AS (SELECT t, count(*) AS cu FROM tt GROUP BY t), "
+            "n AS (SELECT cast(count(*) AS double) AS nt FROM tt), "
+            "trp AS (SELECT unnest(list_transform(range(1, len(ws)), "
+            "i -> {'p': ws[i], 'c': ws[i+1]})) AS pr FROM tr "
+            "WHERE len(ws) >= 2), "
+            "big AS (SELECT pr.p AS p, pr.c AS c, count(*) AS cb "
+            "FROM trp GROUP BY pr.p, pr.c), "
+            "sc AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS ws FROM documents "
+            "WHERE doc_id >= 300 AND doc_id < 400), "
+            "scp AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(ws)), "
+            "i -> {'p': ws[i], 'c': ws[i+1]})) AS pr FROM sc "
+            "WHERE len(ws) >= 2), "
+            "flat AS (SELECT doc_id, pr.p AS p, pr.c AS c FROM scp), "
+            "j AS (SELECT f.doc_id, CASE WHEN b.cb IS NOT NULL "
+            "THEN -ln(cast(b.cb AS double) / up.cu) "
+            "ELSE -ln(0.4 * coalesce(uc.cu, 0.5) / n.nt) END AS s "
+            "FROM flat f LEFT JOIN big b ON b.p = f.p AND b.c = f.c "
+            "LEFT JOIN uni up ON up.t = f.p "
+            "LEFT JOIN uni uc ON uc.t = f.c CROSS JOIN n) "
+            "SELECT doc_id, cast(count(*) AS bigint) AS n_pairs, "
+            "round(avg(s), 6) AS sb_nll "
+            "FROM j GROUP BY doc_id ORDER BY doc_id"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

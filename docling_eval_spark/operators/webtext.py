@@ -1631,6 +1631,87 @@ def unigram_logprob(df: DataFrame, key: str = "doc_id",
     return scored
 
 
+def stupid_backoff_logprob(df: DataFrame, key: str = "doc_id",
+                           text_col: str = "text",
+                           backoff: float = 0.4,
+                           broadcast_max_pairs: int | None = None,
+                           train_df: DataFrame | None = None
+                           ) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood under Stupid
+    Backoff (Brants et al. 2007 "Large Language Models in Machine
+    Translation") — the smoothing Google designed FOR distributed
+    web-scale training: no discounting, no normalization pass, just
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if seen
+                         = backoff * c(w_i) / N           otherwise
+
+    which makes every model statistic a plain count — one corpus-level
+    groupBy each for bigrams and unigrams, both with map-side combine.
+    This is the CCNet LM-scoring shape one order up from
+    unigram_logprob, sharing its engineering rules: token TEXT never
+    crosses an exchange (all keys are xxhash64(token); a bigram key is
+    the (prev, cur) hash pair), the model side pre-joins the
+    denominator so scoring is one left join, and the model broadcasts
+    by default with a shuffled-hash-join fallback when the distinct
+    bigram count exceeds `broadcast_max_pairs` (both paths
+    row-identical — same counts, same arithmetic).
+
+    Score = mean over the document's n-1 bigram positions of
+    -ln(S(w_i | w_{i-1})), rounded to 6 decimals (summation-order
+    stability). Documents with fewer than 2 tokens have no bigram
+    positions and are dropped — score them with unigram_logprob.
+    `train_df` separates the model corpus from the scored one (CCNet
+    trains on Wikipedia, scores the crawl); scoring the training
+    corpus against itself never backs off by construction. A scored
+    token absent from the training vocabulary takes a half-count OOV
+    floor (S = backoff * 0.5 / N) so no position scores -ln(0).
+
+    Returns (key, n_pairs, sb_nll)."""
+
+    def _split(frame: DataFrame, k: str):
+        ws = frame.select(k, _words(F.col(text_col)).alias("_ws")) \
+            .where(F.size("_ws") >= 2)
+        hs = ws.select(k, F.expr(
+            "transform(_ws, w -> xxhash64(w))").alias("_hs"))
+        prs = hs.select(
+            k,
+            F.explode(F.arrays_zip(
+                F.slice("_hs", 1, F.size("_hs") - 1).alias("ph"),
+                F.slice("_hs", 2, F.size("_hs") - 1).alias("ch"),
+            )).alias("_p")).select(k, "_p.ph", "_p.ch")
+        return prs, hs.select(k, F.explode("_hs").alias("_th"))
+
+    train = train_df if train_df is not None else df
+    tpairs, ttoks = _split(train, key)
+    big = tpairs.groupBy("ph", "ch").agg(
+        F.count_if(F.lit(True)).alias("cb"))
+    uni = ttoks.groupBy("_th").agg(F.count_if(F.lit(True)).alias("cu"))
+    n_total = ttoks.count()
+    # pre-join the bigram denominator: Brants' S divides the bigram
+    # count by the PREVIOUS token's unigram count
+    model = big.join(uni.select(F.col("_th").alias("ph"),
+                                F.col("cu").alias("cprev")), "ph")
+    use_broadcast = True
+    if broadcast_max_pairs is not None:
+        use_broadcast = big.count() <= broadcast_max_pairs
+    cur = uni.select(F.col("_th").alias("ch"), F.col("cu").alias("ccur"))
+    if use_broadcast:
+        model, cur = F.broadcast(model), F.broadcast(cur)
+    pairs, _ = _split(df, key)
+    ccur_eff = F.coalesce(F.col("ccur").cast("double"), F.lit(0.5))
+    score = F.when(
+        F.col("cb").isNotNull(),
+        -F.log(F.col("cb") / F.col("cprev"))
+    ).otherwise(
+        -F.log(F.lit(backoff) * ccur_eff / F.lit(float(n_total))))
+    return (pairs
+            .join(model, ["ph", "ch"], "left")
+            .join(cur, "ch", "left")
+            .groupBy(key)
+            .agg(F.count_if(F.lit(True)).alias("n_pairs"),
+                 F.round(F.avg(score), 6).alias("sb_nll")))
+
+
 def perplexity_buckets(df: DataFrame, score_col: str = "unigram_nll",
                        key: str = "doc_id",
                        labels: tuple[str, ...] = ("head", "middle", "tail"),

@@ -984,3 +984,39 @@ def test_temperature_mix_deterministic_and_flattening(spark):
     # rarest stratum whole; head flattened to ~sqrt ratio (9:1 -> 3:1)
     assert by["fr"] == 100
     assert 200 < by["en"] < 400
+
+
+def test_stupid_backoff_published_formula(spark):
+    """Brants 2007: S = c(prev,cur)/c(prev) when seen, else
+    0.4 * c(cur)/N; OOV cur takes the half-count floor. Both join
+    paths (broadcast / shuffled-hash fallback) are row-identical."""
+    import math
+
+    from docling_eval_spark.operators.webtext import stupid_backoff_logprob
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c")], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "c a"), (12, "x a"), (13, "solo")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_pairs"], r["sb_nll"]) for r in
+           stupid_backoff_logprob(score, train_df=train).collect()}
+    # train: unigrams a:3 b:3 c:2 (N=8); bigrams (a,b):3 (b,a):1 (b,c):2
+    assert out[10] == (2, round((-math.log(3 / 3) - math.log(2 / 3)) / 2, 6))
+    assert out[11] == (1, round(-math.log(0.4 * 3 / 8), 6))  # backoff
+    assert out[12] == (1, round(-math.log(0.4 * 3 / 8), 6))  # OOV prev
+    assert 13 not in out                                     # <2 tokens
+    # OOV cur: half-count floor, never -ln(0)
+    oov = {r["doc_id"]: r["sb_nll"] for r in stupid_backoff_logprob(
+        spark.createDataFrame([(20, "a zzz")], ["doc_id", "text"]),
+        train_df=train).collect()}
+    assert oov[20] == round(-math.log(0.4 * 0.5 / 8), 6)
+    # self-scoring never backs off (every bigram is in its own model)
+    self_nll = {r["doc_id"]: r["sb_nll"] for r in
+                stupid_backoff_logprob(train).collect()}
+    assert self_nll[2] == round((-math.log(3 / 3) - math.log(2 / 3)) / 2, 6)
+    # shuffled-hash fallback path row-identical
+    nb = {r["doc_id"]: (r["n_pairs"], r["sb_nll"]) for r in
+          stupid_backoff_logprob(score, train_df=train,
+                                 broadcast_max_pairs=1).collect()}
+    assert nb == out
