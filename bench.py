@@ -63,6 +63,8 @@ GROUPS: dict[str, list[str]] = {
         "gopher_repetition_full",
         # round-5: vectorized JPEG entropy decode (verdict #9 datapoint)
         "jpeg_decode_features",
+        # round-5 index-first / LM-scoring tier
+        "cdx_ranged_fetch", "stupid_backoff_nll",
     ],
 }
 
