@@ -1768,6 +1768,28 @@ def _q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_logprob(score, train_df=train).orderBy("doc_id")
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop flags over embeddings + exact-duplicate
+    directions (x2.0-scaled copies at vec_id + 10^9 share their
+    original's direction, cosine exactly 1, and land in the SAME
+    precomputed cluster since 10^9 % 5 == 0): every copy must drop
+    (keep-min), originals keep unless a smaller-id same-cluster
+    neighbor sits above the 0.95 threshold. The oracle recomputes the
+    full within-cluster pair set with the repo's shared 4-decimal
+    cosine convention."""
+    from docling_eval_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    doubled = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"))
+    corpus = emb.unionByName(doubled) \
+        .withColumn("cl", F.pmod("vec_id", F.lit(5)))
+    return (semantic_dedup(corpus, threshold=0.95, bucket_col="cl")
+            .orderBy("vec_id"))
+
+
 def _q_payload_mime_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-tier accounting over a MIXED payload corpus (doc_id%7==0
     gets JPEG magic, %7==1 P6, the rest PNG): every real image mime
@@ -3001,20 +3023,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persist restructure, packing/budget cache tracking, near-dedup
     signature store, distributed bloom build, prefix-sum range slice,
     hashed unigram join, frame container sniff, vectorized JPEG
-    decode), then the 10 round-5 additions (lang_id_classifier,
+    decode), then the 11 round-5 additions (lang_id_classifier,
     video_container_counts, perplexity_by_lang,
     audio_decode_features, robots_txt_verdicts, cdx_fetch_manifest,
     cdx_ranged_fetch, temperature_mix_sample, wet_roundtrip,
-    stupid_backoff_nll), then the 6 remaining r02-era rows
+    stupid_backoff_nll, semdedup_keep), then the 6 remaining r02-era
+    rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 15 r3-era fills
-    ending at extract_identity_rate in slot 50 (extract_text_md5,
-    google_docai_spans, gopher_line_flags, hash_sample_docs,
-    large_orders, late_orders, min_cost_supplier and
-    ngram_decontaminate slide just past the window to slots 51-58).
+    webtext_latest_snapshot, c4_line_filter), then 14 r3-era fills
+    ending at extract_block_counts in slot 50 (extract_identity_rate,
+    extract_text_md5, google_docai_spans, gopher_line_flags,
+    hash_sample_docs, large_orders, late_orders, min_cost_supplier
+    and ngram_decontaminate slide just past the window to slots
+    51-59).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -3053,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_sample": _q_temperature_mix,
         "wet_roundtrip": _q_wet_roundtrip,
         "stupid_backoff_nll": _q_stupid_backoff,
+        "semdedup_keep": _q_semdedup,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -4145,6 +4170,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cast(count(*) AS bigint) AS n_pairs, "
             "round(avg(s), 6) AS sb_nll "
             "FROM j GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # SemDeDup: within-precomputed-cluster keep-min at the shared
+        # 4-decimal cosine convention; scaled copies always drop.
+        "semdedup_keep": (
+            "WITH corpus AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL SELECT vec_id + 1000000000, "
+            "    list_transform(embedding, x -> x * 2.0) FROM embeddings), "
+            "cl AS (SELECT vec_id, embedding, vec_id % 5 AS bucket "
+            "FROM corpus), "
+            "drops AS (SELECT DISTINCT b.vec_id FROM cl a JOIN cl b "
+            "ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding, "
+            "b.embedding), 4) >= 0.95) "
+            "SELECT c.vec_id, cast(c.bucket AS bigint) AS bucket, "
+            "d.vec_id IS NULL AS semdedup_keep, FALSE AS cluster_capped "
+            "FROM cl c LEFT JOIN drops d ON d.vec_id = c.vec_id "
+            "ORDER BY c.vec_id"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

@@ -369,3 +369,61 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
         .distinct()  # a neighbor can appear via several probed buckets
     )
     return _topk_rounded(scored, k)
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bucket_col: str | None = None, n_clusters: int = 16,
+                   max_cluster_size: int = 100_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every vector with a
+    smaller-id neighbor at cosine >= threshold (keep-min — the repo's
+    near-dedup convention). Cross-cluster near-duplicates are NOT
+    candidates by design: that is the method's cost model — candidate
+    volume is the sum of squared CLUSTER sizes, never corpus², which
+    is what makes semantic dedup tractable at 10^12 vectors.
+
+    Clustering: pass `bucket_col` to reuse a precomputed assignment
+    (sharded pipelines persist it); otherwise ivf_train's
+    deterministic distributed Lloyd assigns via one GEMM Arrow stage.
+    Hot clusters past `max_cluster_size` are excluded from the pair
+    join (the embedding-LSH cap convention) and surface with
+    cluster_capped=true, keep=true — an accountable skip, never a
+    quadratic blowup. Cosines round to 4 decimals before the
+    threshold compare (engine-parity convention shared with every
+    cosine oracle in this repo).
+
+    Returns (id, bucket, semdedup_keep, cluster_capped)."""
+    base = corpus.select(F.col(id_col).alias(id_col),
+                         _as_double(F.col(vec_col)).alias(vec_col))
+    if bucket_col is not None:
+        assigned = corpus.select(
+            F.col(id_col).alias(id_col),
+            _as_double(F.col(vec_col)).alias(vec_col),
+            F.col(bucket_col).cast("long").alias("bucket"))
+    else:
+        cents = ivf_train(base, n_clusters=n_clusters,
+                          id_col=id_col, vec_col=vec_col)
+        assigned = _assign_buckets(base, cents, id_col, vec_col) \
+            .withColumn("bucket", F.col("bucket").cast("long"))
+    sizes = assigned.groupBy("bucket").agg(
+        F.count_if(F.lit(True)).alias("_n"))
+    tagged = assigned.join(F.broadcast(sizes), "bucket").withColumn(
+        "cluster_capped", F.col("_n") > max_cluster_size).drop("_n")
+    small = tagged.where(~F.col("cluster_capped"))
+    l = small.select(F.col("bucket"),
+                     F.col(id_col).alias("_a"), F.col(vec_col).alias("_va"))
+    r = small.select(F.col("bucket"),
+                     F.col(id_col).alias("_b"), F.col(vec_col).alias("_vb"))
+    drops = (l.join(r, "bucket")
+             .where(F.col("_a") < F.col("_b"))
+             .where(F.round(_cosine(F.col("_va"), F.col("_vb")), 4)
+                    >= F.lit(threshold))
+             .select(F.col("_b").alias(id_col))
+             .distinct())
+    return (tagged
+            .join(drops.withColumn("_drop", F.lit(True)), id_col, "left")
+            .select(id_col, "bucket",
+                    F.coalesce(~F.col("_drop"), F.lit(True))
+                    .alias("semdedup_keep"),
+                    "cluster_capped"))

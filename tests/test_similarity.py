@@ -116,3 +116,55 @@ class TestLSH:
         assert auto_n_planes(10_000_000) == 18    # buckets track corpus
         assert auto_n_planes(10**12) == 30        # capped: one bigint sig
         assert auto_n_planes(0) == 8
+
+
+class TestSemanticDedup:
+    def test_keep_min_within_cluster_and_capped(self, spark):
+        """SemDeDup drops every vector with a smaller-id same-cluster
+        neighbor above threshold; hot clusters skip accountably."""
+        from pyspark.sql import functions as F
+
+        from docling_eval_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [2.0, 0.0, 0.0], 0),     # same direction as 1 -> drop
+            (3, [0.0, 1.0, 0.0], 0),     # orthogonal -> keep
+            (4, [1.0, 0.0, 0.0], 1),     # duplicate DIRECTION of 1 but
+                                         # other cluster -> keep (by design)
+            (5, [3.0, 0.0, 0.0], 1),     # same cluster as 4 -> drop
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, cl long")
+        out = {r["vec_id"]: (r["semdedup_keep"], r["cluster_capped"])
+               for r in semantic_dedup(df, threshold=0.95,
+                                       bucket_col="cl").collect()}
+        assert out == {1: (True, False), 2: (False, False),
+                       3: (True, False), 4: (True, False),
+                       5: (False, False)}
+        # cap: cluster 0 (3 rows) past a cap of 2 -> everything kept,
+        # flagged capped; cluster 1 (2 rows) still dedups
+        capped = {r["vec_id"]: (r["semdedup_keep"], r["cluster_capped"])
+                  for r in semantic_dedup(df, threshold=0.95,
+                                          bucket_col="cl",
+                                          max_cluster_size=2).collect()}
+        assert capped[2] == (True, True) and capped[5] == (False, False)
+
+    def test_kmeans_path_separated_clusters(self, spark):
+        """Without a precomputed assignment, ivf_train clusters; well-
+        separated direction families dedup within themselves only."""
+        from docling_eval_spark.operators.similarity import semantic_dedup
+
+        rows = []
+        for g in range(4):
+            base = [0.0] * 8
+            base[g] = 1.0
+            for i in range(6):
+                v = list(base)
+                v[g] = 1.0 + 0.001 * i        # near-identical directions
+                rows.append((g * 10 + i, v))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, threshold=0.95, n_clusters=4).collect()
+        kept = sorted(r["vec_id"] for r in out if r["semdedup_keep"])
+        # exactly one survivor per direction family, the min id
+        assert kept == [0, 10, 20, 30]
