@@ -2983,6 +2983,26 @@ def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_c4_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2's badlist page gate: docs at doc_id%7==0 gain a line
+    carrying a blocklisted token — those pages must drop on the
+    arrays_overlap badwords rule while every other page-keep rule
+    still applies; the oracle replicates the full composite."""
+    from docling_eval_spark.operators.webtext import c4_page_filter
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 500))
+    page = F.concat(
+        F.col("text"), F.lit("."),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nzzzbad ok line too.")).otherwise(F.lit("")))
+    out = c4_page_filter(
+        docs.select("doc_id", page.alias("page_text")),
+        text_col="page_text", min_words_per_line=1, min_kept_lines=1,
+        badwords=["zzzbad", "qqqbad"])
+    return out.select("doc_id", "n_kept_lines", "keep").orderBy("doc_id")
+
+
 def _q_webtext_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-snapshot-per-URL collapse over synthetic recrawls
     (1 + doc_id%3 captures per url): max_by partial-aggregable arg-max,
@@ -3027,18 +3047,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     video_container_counts, perplexity_by_lang,
     audio_decode_features, robots_txt_verdicts, cdx_fetch_manifest,
     cdx_ranged_fetch, temperature_mix_sample, wet_roundtrip,
-    stupid_backoff_nll, semdedup_keep), then the 6 remaining r02-era
-    rows
+    stupid_backoff_nll, semdedup_keep, c4_badwords_filter), then the
+    6 remaining r02-era rows
     (rejection_summary, timings_rollup/stats/histogram,
     consolidation_pivot, kv_graph_labels — range_slice moved into
     group 1 by its rewrite), then the 4 r3-row entries whose code
     changed in round 4 (epoch_shuffle_pos, gopher_quality,
-    webtext_latest_snapshot, c4_line_filter), then 14 r3-era fills
-    ending at extract_block_counts in slot 50 (extract_identity_rate,
-    extract_text_md5, google_docai_spans, gopher_line_flags,
-    hash_sample_docs, large_orders, late_orders, min_cost_supplier
-    and ngram_decontaminate slide just past the window to slots
-    51-59).
+    webtext_latest_snapshot, c4_line_filter), then 13 r3-era fills
+    ending at events_daily in slot 50 (extract_block_counts,
+    extract_identity_rate, extract_text_md5, google_docai_spans,
+    gopher_line_flags, hash_sample_docs, large_orders, late_orders,
+    min_cost_supplier and ngram_decontaminate slide just past the
+    window to slots 51-60).
     After this window lands, no entry's latest driver row predates its
     last code change and no row is older than r3 — the round-4 verdict
     #2 "Done" condition. All 50 verified locally through
@@ -3078,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "stupid_backoff_nll": _q_stupid_backoff,
         "semdedup_keep": _q_semdedup,
+        "c4_badwords_filter": _q_c4_badwords,
         # --- last driver row is CORRECTNESS_r02.json (oldest) ---
         "rejection_summary": _q_rejection_summary,
         "timings_rollup": _q_timings_rollup,
@@ -4188,6 +4209,25 @@ def oracle_sql() -> dict[str, str]:
             "d.vec_id IS NULL AS semdedup_keep, FALSE AS cluster_capped "
             "FROM cl c LEFT JOIN drops d ON d.vec_id = c.vec_id "
             "ORDER BY c.vec_id"
+        ),
+        # C4 badlist gate: replicate the composite page keep (kept-line
+        # floor, lorem/brace, badword token overlap) on the fixture.
+        "c4_badwords_filter": (
+            "WITH p AS (SELECT doc_id, text || '.' || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+            "'zzzbad ok line too.' ELSE '' END AS page "
+            "FROM documents WHERE doc_id < 500), "
+            "k AS (SELECT doc_id, page, "
+            "list_filter(string_split(page, chr(10)), "
+            "x -> regexp_matches(x, '[.!?\"]$') AND "
+            "len(string_split_regex(trim(x), '\\s+')) >= 1 AND "
+            "NOT contains(lower(x), 'javascript')) AS kept FROM p) "
+            "SELECT doc_id, len(kept) AS n_kept_lines, "
+            "len(kept) >= 1 AND NOT contains(lower(page), 'lorem ipsum') "
+            "AND NOT contains(page, '{') AND NOT list_has_any("
+            "string_split_regex(trim(lower(page)), '\\s+'), "
+            "['zzzbad', 'qqqbad']) AS keep "
+            "FROM k ORDER BY doc_id"
         ),
         "png_decode_features": (
             "WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, "

@@ -348,10 +348,14 @@ def cmd_curate(args) -> None:
             "symbol_ratio", "flag_word_count", "flag_word_len",
             "flag_symbol", "flag_alpha", "flag_stop", "gopher_pass")
     if not args.skip_c4:
+        badwords = None
+        if args.badwords_file:
+            with open(args.badwords_file) as fh:
+                badwords = [w.strip() for w in fh if w.strip()]
         c4 = c4_page_filter(kept, text_col=text,
                             min_words_per_line=args.min_words_per_line,
                             min_kept_lines=args.min_kept_lines,
-                            sep=args.sep)
+                            sep=args.sep, badwords=badwords)
         # adopt text_clean: lines failing the C4 line rules (no terminal
         # punctuation, short, 'javascript') must not survive into the
         # curated output — the stage is the line filter, not a page gate
@@ -481,6 +485,10 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--min-kept-lines", type=int, default=1)
     cu.add_argument("--skip-gopher", action="store_true")
     cu.add_argument("--skip-c4", action="store_true")
+    cu.add_argument("--badwords-file", default=None,
+                    help="text file, one word per line: C4's badlist "
+                         "page gate (drop pages containing any listed "
+                         "token)")
     cu.add_argument("--sample", type=float, default=None)
     cu.add_argument("--sample-salt", default="")
     cu.add_argument("--url-dedup", action="store_true",

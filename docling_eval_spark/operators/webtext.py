@@ -623,14 +623,19 @@ C4_TERMINAL_RE = '[.!?"]$'
 
 def c4_page_filter(df: DataFrame, text_col: str = "text", sep: str = "\n",
                    min_words_per_line: int = 5,
-                   min_kept_lines: int = 3) -> DataFrame:
+                   min_kept_lines: int = 3,
+                   badwords: list[str] | None = None) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020, section 2.2) as native
     columns — the published line- and page-level filters:
 
     line keep: ends in a terminal punctuation mark ([.!?"]), has at
     least `min_words_per_line` words, and does not contain the word
     "javascript". page keep: at least `min_kept_lines` surviving lines,
-    no "lorem ipsum", and no curly brace.
+    no "lorem ipsum", and no curly brace — and, with `badwords`, no
+    whitespace token on the caller's blocklist (C4's published "List
+    of Dirty, Naughty, Obscene or Otherwise Bad Words" gate; the list
+    itself is the caller's to supply — it ships as an in-plan array
+    literal probed with one arrays_overlap, scan speed, no shuffle).
 
     Adds n_lines, n_kept_lines, keep, and text_clean (surviving lines
     re-joined). Pure higher-order functions over a once-projected line
@@ -653,7 +658,11 @@ def c4_page_filter(df: DataFrame, text_col: str = "text", sep: str = "\n",
             "keep",
             (F.col("n_kept_lines") >= min_kept_lines)
             & ~F.lower(F.col(text_col)).contains("lorem ipsum")
-            & ~F.col(text_col).contains("{"))
+            & ~F.col(text_col).contains("{")
+            & (F.lit(True) if not badwords else
+               ~F.arrays_overlap(
+                   _words(F.lower(F.col(text_col))),
+                   F.lit([w.lower() for w in badwords]))))
         .withColumn("text_clean", F.concat_ws(sep, F.col("_kept")))
         .drop("_ls", "_kept")
     )

@@ -1020,3 +1020,25 @@ def test_stupid_backoff_published_formula(spark):
           stupid_backoff_logprob(score, train_df=train,
                                  broadcast_max_pairs=1).collect()}
     assert nb == out
+
+
+def test_c4_badwords_page_gate(spark):
+    """C4 §2.2's badlist rule: a page containing any blocklisted
+    whitespace token drops, case-insensitively; the default (no list)
+    leaves behavior unchanged."""
+    from docling_eval_spark.operators.webtext import c4_page_filter
+
+    rows = [
+        (1, "a clean line with enough words here today."),
+        (2, "a line mentioning ZZZBAD among enough words here."),
+        (3, "zzzbadish is a different token so this page keeps."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["keep"] for r in c4_page_filter(
+        df, min_words_per_line=1, min_kept_lines=1,
+        badwords=["zzzbad"]).collect()}
+    assert out == {1: True, 2: False, 3: True}
+    # no list -> no gate
+    base = {r["doc_id"]: r["keep"] for r in c4_page_filter(
+        df, min_words_per_line=1, min_kept_lines=1).collect()}
+    assert base == {1: True, 2: True, 3: True}
